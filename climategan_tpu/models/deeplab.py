@@ -1,0 +1,92 @@
+"""DeepLabV3+ segmentation decoder (ASPP + low-level decoder), NHWC.
+
+Re-design of reference climategan/deeplab/deeplab_v3.py. Parity notes:
+  * the reference's ``ConvBNReLU`` applies conv + BN but *no* ReLU in
+    forward (deeplab_v3.py:54-57) — reproduced here as ConvBN.
+  * ASPP branches use dilations 1/6/12/18 (deeplab_v3.py:81-84).
+  * DADA fusion multiplies the high-level features by z_depth before ASPP
+    (deeplab_v3.py:253-254).
+  * final logits are resized bilinear align_corners=True to the target size
+    (deeplab_v3.py:262-264) — here an exact-torch matmul resize on the MXU.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from climategan_tpu.models.norms import BatchNorm, SNConv
+from climategan_tpu.ops.interpolate import resize
+
+
+class ConvBN(nn.Module):
+    """conv + BN, no activation (the reference's misnamed ConvBNReLU)."""
+
+    out_chan: int
+    ks: int = 3
+    stride: int = 1
+    padding: int = 1
+    dilation: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = SNConv(
+            self.out_chan, (self.ks, self.ks),
+            strides=(self.stride, self.stride),
+            padding=(self.padding, self.padding),
+            dilation=(self.dilation, self.dilation),
+            use_bias=True, name="conv",
+        )(x)
+        return BatchNorm(name="bn")(y, train=train)
+
+
+class ASPP(nn.Module):
+    """Atrous spatial pyramid pooling, 4 parallel branches + 1x1 merge."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        f1 = ConvBN(256, ks=1, dilation=1, padding=0, name="conv1")(x, train)
+        f2 = ConvBN(256, ks=3, dilation=6, padding=6, name="conv2")(x, train)
+        f3 = ConvBN(256, ks=3, dilation=12, padding=12, name="conv3")(x, train)
+        f4 = ConvBN(256, ks=3, dilation=18, padding=18, name="conv4")(x, train)
+        feat = jnp.concatenate([f1, f2, f3, f4], axis=-1)
+        return ConvBN(256, ks=1, padding=0, name="conv_out")(feat, train)
+
+
+class DeepLabDecoder(nn.Module):
+    """Low-level feature merge decoder (deeplab_v3.py:119-142)."""
+
+    n_classes: int
+
+    @nn.compact
+    def __call__(self, feat_low, feat_aspp, train: bool = False):
+        low = ConvBN(48, ks=1, padding=0, name="conv_low")(feat_low, train)
+        up = resize(
+            feat_aspp, (feat_low.shape[1], feat_low.shape[2]),
+            mode="bilinear", align_corners=True,
+        )
+        cat = jnp.concatenate([low, up], axis=-1)
+        y = ConvBN(256, ks=3, padding=1, name="conv_cat0")(cat, train)
+        y = ConvBN(256, ks=3, padding=1, name="conv_cat1")(y, train)
+        return SNConv(
+            self.n_classes, (1, 1), use_bias=False, name="conv_out",
+        )(y)
+
+
+class DeepLabV3Decoder(nn.Module):
+    """Full segmentation head: (z_high, z_low) [, z_depth] -> logits."""
+
+    num_classes: int = 11
+    use_dada: bool = True
+    target_size: Tuple[int, int] = (640, 640)
+
+    @nn.compact
+    def __call__(self, z, z_depth=None, train: bool = False):
+        z_high, z_low = z
+        if z_depth is not None and self.use_dada:
+            z_high = z_high * z_depth
+        feat = ASPP(name="aspp")(z_high, train=train)
+        s = DeepLabDecoder(self.num_classes, name="decoder")(z_low, feat, train)
+        return resize(s, self.target_size, mode="bilinear", align_corners=True)

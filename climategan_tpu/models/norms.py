@@ -1,0 +1,243 @@
+"""Normalization layers (TPU-native, NHWC).
+
+Re-designs of the reference normalizations (climategan/norms.py):
+  * spectral normalization — power-iteration state lives in a dedicated
+    ``spectral`` variable collection so it can be threaded through ``jit``
+    functionally instead of mutating module attributes like the reference
+    (norms.py:84-143).
+  * instance / layer norm — pure jnp reductions over NHWC.
+  * SPADE — conditional affine from a conditioning map (norms.py:146-186).
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from climategan_tpu.ops.interpolate import resize
+
+
+def _l2normalize(v: jax.Array, eps: float = 1e-12) -> jax.Array:
+    # reference norms.py:80-81 — divide by (norm + eps), not rsqrt(sq+eps)
+    return v / (jnp.linalg.norm(v) + eps)
+
+
+def spectral_normalize(
+    kernel: jax.Array,
+    u: jax.Array,
+    v: jax.Array,
+    power_iterations: int = 1,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """One (or more) power-iteration spectral normalization steps.
+
+    ``kernel`` is HWIO; the estimate matrix is flattened to (O, I*KH*KW) in
+    torch's OIHW order so converted checkpoints keep identical u/v vectors
+    (reference norms.py:100-112). Power iterations do not carry gradient;
+    sigma does (w_bar participates in the final contraction), matching the
+    reference where u/v are buffers but w_bar requires grad.
+    """
+    kh, kw, ci, co = kernel.shape
+    w_mat = kernel.astype(jnp.float32).transpose(3, 2, 0, 1).reshape(co, -1)
+    w_ng = jax.lax.stop_gradient(w_mat)
+    for _ in range(power_iterations):
+        v = _l2normalize(w_ng.T @ u)
+        u = _l2normalize(w_ng @ v)
+    u = jax.lax.stop_gradient(u)
+    v = jax.lax.stop_gradient(v)
+    sigma = u @ (w_mat @ v)
+    w = kernel / sigma.astype(kernel.dtype)
+    return w, u, v
+
+
+class InstanceNorm(nn.Module):
+    """InstanceNorm2d, no affine, no running stats (torch defaults)."""
+
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
+        var = jnp.var(xf, axis=(1, 2), keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return y.astype(x.dtype)
+
+
+class LayerNormRef(nn.Module):
+    """The reference's custom LayerNorm (climategan/norms.py:49-77).
+
+    Normalizes each sample over *all* of C,H,W with an unbiased std and a
+    ``(x - mean) / (std + eps)`` form (not rsqrt of var+eps), then applies a
+    per-channel affine. Matching those exact quirks matters for parity.
+    """
+
+    num_features: int
+    epsilon: float = 1e-5
+    affine: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        xf = x.astype(jnp.float32)
+        n = x.shape[0]
+        flat = xf.reshape(n, -1)
+        mean = flat.mean(axis=1).reshape(n, 1, 1, 1)
+        std = flat.std(axis=1, ddof=1).reshape(n, 1, 1, 1)
+        y = (xf - mean) / (std + self.epsilon)
+        if self.affine:
+            gamma = self.param(
+                "gamma", nn.initializers.uniform(scale=1.0), (self.num_features,)
+            )
+            beta = self.param("beta", nn.initializers.zeros, (self.num_features,))
+            y = y * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
+        return y.astype(x.dtype)
+
+
+class AdaptiveInstanceNorm(nn.Module):
+    """AdaIN (climategan/norms.py:8-46): instance norm with externally
+    assigned per-channel weight/bias, passed as call arguments (the functional
+    equivalent of the reference's dynamically-assigned attributes)."""
+
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, weight: jax.Array, bias: jax.Array) -> jax.Array:
+        y = InstanceNorm(epsilon=self.epsilon)(x)
+        return y * weight.reshape(1, 1, 1, -1) + bias.reshape(1, 1, 1, -1)
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm2d with torch-compatible defaults (momentum 0.1, eps 1e-5).
+
+    Thin wrapper over linen BatchNorm: running stats live in ``batch_stats``;
+    ``train=False`` uses running averages (inference graphs constant-fold the
+    whole affine — the XLA equivalent of the reference's bn_fusion.py).
+    """
+
+    use_scale_bias: bool = True
+    momentum: float = 0.1
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        return nn.BatchNorm(
+            use_running_average=not train,
+            momentum=1.0 - self.momentum,
+            epsilon=self.epsilon,
+            use_bias=self.use_scale_bias,
+            use_scale=self.use_scale_bias,
+            dtype=x.dtype,
+            param_dtype=jnp.float32,
+        )(x)
+
+
+class SNConv(nn.Module):
+    """2-D convolution with optional spectral normalization.
+
+    NHWC x HWIO -> NHWC via ``lax.conv_general_dilated`` (MXU path).
+    Spectral u/v state lives in the ``spectral`` collection; pass
+    ``update_sn=True`` (with the collection mutable) during training steps.
+    """
+
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: Tuple[int, int] = (1, 1)
+    dilation: Tuple[int, int] = (1, 1)
+    padding: Tuple[int, int] = (0, 0)  # symmetric zero padding
+    use_bias: bool = True
+    spectral: bool = False
+    power_iterations: int = 1
+    kernel_init: Callable = nn.initializers.lecun_normal()
+
+    @nn.compact
+    def __call__(self, x: jax.Array, update_sn: bool = False) -> jax.Array:
+        kh, kw = self.kernel_size
+        ci = x.shape[-1]
+        kernel = self.param("kernel", self.kernel_init, (kh, kw, ci, self.features))
+
+        if self.spectral:
+            fan_in = ci * kh * kw
+            u_var = self.variable(
+                "spectral", "u",
+                lambda: _l2normalize(
+                    jax.random.normal(jax.random.PRNGKey(0), (self.features,))),
+            )
+            v_var = self.variable(
+                "spectral", "v",
+                lambda: _l2normalize(
+                    jax.random.normal(jax.random.PRNGKey(1), (fan_in,))),
+            )
+            w, u_new, v_new = spectral_normalize(
+                kernel, u_var.value, v_var.value, self.power_iterations
+            )
+            if update_sn and not self.is_initializing():
+                u_var.value = u_new
+                v_var.value = v_new
+        else:
+            w = kernel
+
+        y = jax.lax.conv_general_dilated(
+            x,
+            w.astype(x.dtype),
+            window_strides=self.strides,
+            padding=[(self.padding[0], self.padding[0]),
+                     (self.padding[1], self.padding[1])],
+            rhs_dilation=self.dilation,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=x.dtype,
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias.astype(y.dtype)
+        return y
+
+
+class SPADE(nn.Module):
+    """Spatially-adaptive (de)normalization (climategan/norms.py:146-186).
+
+    gamma/beta are produced from the conditioning map by a small conv MLP;
+    the conditioning map is resized to x's spatial dims with *nearest*
+    interpolation, exactly as the reference.
+    """
+
+    param_free_norm: str  # "instance" | "batch"
+    kernel_size: int
+    norm_nc: int
+    cond_nc: int
+    nhidden: int = 128
+
+    @nn.compact
+    def __call__(self, x, segmap, train: bool = False, update_sn: bool = False):
+        if self.param_free_norm == "instance":
+            normalized = InstanceNorm()(x)
+        elif self.param_free_norm == "batch":
+            normalized = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.9,
+                epsilon=1e-5,
+                use_bias=False,
+                use_scale=False,
+                dtype=x.dtype,
+                param_dtype=jnp.float32,
+                name="param_free_norm",
+            )(x)
+        else:
+            raise ValueError(f"Unknown SPADE param-free norm {self.param_free_norm}")
+
+        pw = self.kernel_size // 2
+        seg = resize(segmap, (x.shape[1], x.shape[2]), mode="nearest")
+        actv = SNConv(
+            self.nhidden, (self.kernel_size, self.kernel_size),
+            padding=(pw, pw), name="mlp_shared",
+        )(seg)
+        actv = nn.relu(actv)
+        gamma = SNConv(
+            self.norm_nc, (self.kernel_size, self.kernel_size),
+            padding=(pw, pw), name="mlp_gamma",
+        )(actv)
+        beta = SNConv(
+            self.norm_nc, (self.kernel_size, self.kernel_size),
+            padding=(pw, pw), name="mlp_beta",
+        )(actv)
+        return normalized * (1.0 + gamma) + beta

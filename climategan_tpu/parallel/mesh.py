@@ -1,0 +1,43 @@
+"""Device mesh + sharding helpers (greenfield — SURVEY.md §2.4/§2.5).
+
+The reference is single-device; parallelism here is designed TPU-first:
+a 1-D ``data`` mesh axis for batch-parallel inference/training over ICI,
+with replicated parameters and ``NamedSharding`` annotations letting XLA
+insert the collectives (gradient psum) itself. Multi-axis (model-sharded
+painter at high resolution) can extend the same mesh without touching the
+model code.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis,))
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Shard the leading (batch) dim of NHWC tensors across the mesh."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch, axis: str = "data"):
+    """Device-put a pytree of batch-leading arrays, sharded over the mesh."""
+    s = batch_sharding(mesh, axis)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
+
+
+def replicate(mesh: Mesh, tree):
+    r = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, r), tree)

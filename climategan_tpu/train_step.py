@@ -1,0 +1,561 @@
+"""Functional G/D training steps (the reference Trainer's hot loop as two
+jit-compiled SPMD functions).
+
+Re-design of reference climategan/trainer.py:
+  * update_G (:989-1015) / get_G_loss (:1162-1182) / get_masker_loss
+    (:1184-1254) / get_painter_loss (:1256-1387)
+  * update_D (:1017-1032) / get_D_loss (:1034-1160)
+  * masker_d_loss (:1389-1407) / masker_s_loss (:1409-1504)
+    / masker_m_loss (:1506-1616) / painter_loss_for_masker (:1618-1651)
+
+Design: instead of .backward() + in-place optimizer mutation, each update is
+a pure function (params, states, batch, rng) -> (params, states, metrics)
+built with jax.value_and_grad. ExtraAdam's even/odd extrapolate/step
+alternation is a traced bool so the whole loop compiles once. Data
+parallelism: run the step under jit with batch sharded over the mesh's
+"data" axis — XLA inserts the gradient all-reduces (no pmap plumbing).
+
+Batch layout: {domain: {task: NHWC array}} with NHW int32 for "s" labels.
+Domains: "r" (real), "s" (sim) for the masker; "rf" (real flooded) for the
+painter. Which tasks exist per domain is static (from the dataset schema).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from climategan_tpu import losses as L
+from climategan_tpu.models.discriminator import OmniDiscriminator, create_discriminator
+from climategan_tpu.models.generator import OmniGenerator, create_generator
+from climategan_tpu.ops.interpolate import resize
+from climategan_tpu.optim import ExtraAdamState, extra_adam_step, init_extra_adam
+
+Array = jax.Array
+
+
+def vgg_preprocess(batch: Array) -> Array:
+    """[-1,1] RGB -> caffe-style BGR-255 minus imagenet mean
+    (reference tutils.py:416-428)."""
+    bgr = batch[..., ::-1]
+    bgr = (bgr + 1.0) * 255.0 * 0.5
+    mean = jnp.array([103.939, 116.779, 123.680], dtype=bgr.dtype)
+    return bgr - mean
+
+
+def divide_pred(pred):
+    """Split a (multiscale) discriminator output of a real||fake batch-concat
+    into (real, fake) halves (reference tutils.py:443-469)."""
+    if isinstance(pred, (list, tuple)):
+        real = [[t[: t.shape[0] // 2] for t in scale] for scale in pred]
+        fake = [[t[t.shape[0] // 2:] for t in scale] for scale in pred]
+        return real, fake
+    return pred[: pred.shape[0] // 2], pred[pred.shape[0] // 2:]
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Static training hyperparameters (opts.train.lambdas et al.)."""
+
+    tasks: Tuple[str, ...] = ("d", "s", "m", "p")
+    # lambdas
+    lam_d_main: float = 1.0
+    lam_d_gml: float = 0.5
+    lam_s_crossent: float = 1.0
+    lam_s_minent: float = 0.001
+    lam_s_advent: float = 0.001
+    lam_m_bce: float = 1.0
+    lam_m_tv: float = 1.0
+    lam_m_gi: float = 0.05
+    lam_m_pl4m: float = 1.0
+    lam_p_vgg: float = 10.0
+    lam_p_tv: float = 0.0
+    lam_p_context: float = 0.0
+    lam_p_reconstruction: float = 0.0
+    lam_p_featmatch: float = 10.0
+    lam_p_gan: float = 1.0
+    adv_main: float = 1.0
+    ent_main: float = 0.5
+    ent_var: float = 0.1
+    # flags
+    s_use_advent: bool = True
+    s_use_dada: bool = True
+    s_use_minent: bool = True
+    m_use_advent: bool = True
+    m_use_dada: bool = False
+    m_use_minent: bool = True
+    m_use_minent_var: bool = True
+    m_use_ground_intersection: bool = True
+    m_use_spade: bool = False
+    m_spade_detach: bool = False
+    use_pl4m: bool = False
+    p_loss: str = "gan"  # gan | hinge
+    soft_shift: float = 0.2
+    flip_prob: float = 0.05
+    m_gan_type: str = "WGAN_norm"
+    s_gan_type: str = "WGAN_norm"
+    use_vgg: bool = True
+    # domain labels (reference trainer.py:107)
+    label_s: float = 0.0
+    label_r: float = 1.0
+
+    @classmethod
+    def from_opts(cls, opts) -> "TrainConfig":
+        lam = opts.train.lambdas
+        return cls(
+            tasks=tuple(opts.tasks),
+            lam_d_main=float(lam.G.d.main),
+            lam_d_gml=float(lam.G.d.gml),
+            lam_s_crossent=float(lam.G.s.crossent),
+            lam_s_minent=float(lam.G.s.minent),
+            lam_s_advent=float(lam.G.s.advent),
+            lam_m_bce=float(lam.G.m.bce),
+            lam_m_tv=float(lam.G.m.tv),
+            lam_m_gi=float(lam.G.m.gi),
+            lam_m_pl4m=float(lam.G.m.pl4m),
+            lam_p_vgg=float(lam.G.p.vgg),
+            lam_p_tv=float(lam.G.p.tv),
+            lam_p_context=float(lam.G.p.context),
+            lam_p_reconstruction=float(lam.G.p.reconstruction),
+            lam_p_featmatch=float(lam.G.p.featmatch),
+            lam_p_gan=float(lam.G.p.gan),
+            adv_main=float(lam.advent.adv_main),
+            ent_main=float(lam.advent.ent_main),
+            ent_var=float(lam.advent.ent_var),
+            s_use_advent=bool(opts.gen.s.get("use_advent", True)),
+            s_use_dada=bool(opts.gen.s.get("use_dada", True)),
+            s_use_minent=bool(opts.gen.s.get("use_minent", True)),
+            m_use_advent=bool(opts.gen.m.get("use_advent", True)),
+            m_use_dada=bool(opts.gen.m.get("use_dada", False)),
+            m_use_minent=bool(opts.gen.m.get("use_minent", True)),
+            m_use_minent_var=bool(opts.gen.m.get("use_minent_var", True)),
+            m_use_ground_intersection=bool(
+                opts.gen.m.get("use_ground_intersection", True)
+            ),
+            m_use_spade=bool(opts.gen.m.get("use_spade", False)),
+            m_spade_detach=bool(opts.gen.m.spade.get("detach", False)),
+            use_pl4m=bool(opts.gen.m.get("use_pl4m", False)),
+            p_loss=opts.gen.p.get("loss", "gan"),
+            soft_shift=float(opts.dis.get("soft_shift", 0.2)),
+            flip_prob=float(opts.dis.get("flip_prob", 0.05)),
+            m_gan_type=opts.dis.m.get("gan_type", "WGAN_norm"),
+            s_gan_type=opts.dis.s.get("gan_type", "WGAN_norm"),
+            use_vgg=float(lam.G.p.vgg) != 0,
+        )
+
+
+class TrainState(NamedTuple):
+    g_params: Any
+    g_state: Any       # batch_stats + spectral collections of G
+    d_params: Any
+    d_state: Any       # spectral collection of D
+    g_opt: ExtraAdamState
+    d_opt: ExtraAdamState
+    step: Array        # global step (int32)
+    rng: Array
+
+
+def _merge_vars(params, state):
+    return {"params": params, **state}
+
+
+def _split_vars(variables):
+    params = variables["params"]
+    state = {k: v for k, v in variables.items() if k != "params"}
+    return params, state
+
+
+class StepBuilder:
+    """Builds jittable G/D update functions for given (G, D, config)."""
+
+    def __init__(self, opts, vgg_variables=None):
+        self.cfg = TrainConfig.from_opts(opts)
+        self.G = create_generator(opts)
+        self.D = create_discriminator(opts)
+        self.vgg_variables = vgg_variables
+        self.g_lr = float(opts.gen.opt.lr.get("default", 5e-5))
+        self.d_lr = float(opts.dis.opt.lr.get("default", 2e-5))
+        self.g_b1 = float(opts.gen.opt.get("beta1", 0.9))
+        self.d_b1 = float(opts.dis.opt.get("beta1", 0.5))
+
+    # ------------------------------------------------------------------
+    def init_state(self, rng, batch, d_image_size: int = 640) -> TrainState:
+        """Initialize all params/states from a sample multi-domain batch."""
+        kg, kd = jax.random.split(rng)
+        some_x = next(iter(batch.values()))["x"]
+        g_vars = self.G.init(kg, some_x)
+        g_params, g_state = _split_vars(g_vars)
+
+        # D inputs: p gets [m, x] 4ch; m advent 2ch entropy; s advent 11ch
+        n, h, w, _ = some_x.shape
+        p_in = jnp.zeros((n, h, w, 4))
+        m_in = jnp.zeros((n, h, w, 2))
+        s_in = jnp.zeros((n, 160, 160, self.D.cfg.s_num_classes))
+        d_vars = self.D.init(kd, p_in, m_in, s_in)
+        d_params, d_state = _split_vars(d_vars)
+
+        return TrainState(
+            g_params=g_params,
+            g_state=g_state,
+            d_params=d_params,
+            d_state=d_state,
+            g_opt=init_extra_adam(g_params),
+            d_opt=init_extra_adam(d_params),
+            step=jnp.zeros((), jnp.int32),
+            rng=rng,
+        )
+
+    # ------------------------------------------------------------------
+    # loss pieces (mirror reference masker_*_loss / painter losses)
+    # ------------------------------------------------------------------
+    def _masker_losses(self, g_vars, d_vars, batch, domain, for_, rng,
+                       mutable):
+        """Masker losses for one domain batch. Returns (loss, aux, new_gstate)."""
+        cfg = self.cfg
+        G, D = self.G, self.D
+        x = batch["x"]
+        metrics = {}
+
+        def gapply(method, *args, **kw):
+            if mutable:
+                out, new_state = G.apply(
+                    g_vars, *args, method=method,
+                    mutable=["batch_stats", "spectral"],
+                    **kw,
+                )
+                return out, new_state
+            return G.apply(g_vars, *args, method=method, **kw), None
+
+        train_flag = for_ == "G"
+        # one shared encoder forward for all heads
+        z, gs1 = gapply("encode", x, train=train_flag)
+
+        total = 0.0
+        d_pred = s_pred = z_depth = None
+
+        if "d" in cfg.tasks:
+            (d_pred, z_depth), _ = gapply(
+                "depth", z, train=train_flag, update_sn=train_flag and mutable
+            )
+
+        # ---- depth loss (sim only; reference masker_d_loss :1389-1407)
+        if for_ == "G" and "d" in batch and "d" in cfg.tasks:
+            if domain == "s" and cfg.lam_d_main != 0:
+                dl = L.sigm_loss(
+                    d_pred.astype(jnp.float32),
+                    batch["d"].astype(jnp.float32),
+                    gmweight=cfg.lam_d_gml,
+                ) * cfg.lam_d_main
+                total += dl
+                metrics[f"d_{domain}"] = dl
+
+        # ---- segmentation losses (reference masker_s_loss :1409-1504)
+        if "s" in cfg.tasks and ("s" in batch or for_ == "D"):
+            s_pred, _ = gapply("segmentation", z, z_depth, train=train_flag)
+            softmax_s = jax.nn.softmax(s_pred.astype(jnp.float32), axis=-1)
+            if for_ == "G":
+                if domain == "s" and "s" in batch and cfg.lam_s_crossent != 0:
+                    sl = L.cross_entropy(
+                        s_pred.astype(jnp.float32), batch["s"]
+                    ) * cfg.lam_s_crossent
+                    total += sl
+                    metrics["s_crossent"] = sl
+                if domain == "r" and cfg.s_use_minent and cfg.lam_s_minent != 0:
+                    ml = L.minent_loss(softmax_s) * cfg.lam_s_minent
+                    total += ml
+                    metrics["s_minent"] = ml
+            if cfg.s_use_advent:
+                dp = (jax.lax.stop_gradient(d_pred)
+                      if cfg.s_use_dada and d_pred is not None else None)
+                if for_ == "D":
+                    label = cfg.label_s if domain == "s" else cfg.label_r
+                    weight = cfg.adv_main
+                    sm = jax.lax.stop_gradient(softmax_s)
+                else:
+                    label = cfg.label_s
+                    weight = cfg.lam_s_advent
+                    sm = softmax_s
+                if (for_ == "D" or domain == "r") and weight != 0:
+                    disc_fn = lambda e: D.apply(  # noqa: E731
+                        d_vars, e.astype(jnp.float32), method="disc_s",
+                    )
+                    al = L.advent_loss(
+                        sm, label, disc_fn, cfg.s_gan_type, dp
+                    ) * weight
+                    total += al
+                    metrics[f"s_advent_{for_}_{domain}"] = al
+
+        # ---- mask losses (reference masker_m_loss :1506-1616)
+        if "m" in cfg.tasks and ("m" in batch or for_ == "D"):
+            cond = None
+            if cfg.m_use_spade and d_pred is not None and s_pred is not None:
+                d_c, s_c = d_pred, s_pred
+                if for_ == "D" or cfg.m_spade_detach:
+                    d_c = jax.lax.stop_gradient(d_c)
+                    s_c = jax.lax.stop_gradient(s_c)
+                cond = G.apply(g_vars, d_c, s_c, x, method="make_m_cond")
+            zd = z_depth if cfg.m_use_dada else None
+            logits, _ = gapply(
+                "mask_logits", z, cond, zd,
+                train=train_flag, update_sn=train_flag and mutable,
+            )
+            logits = logits.astype(jnp.float32)
+            prob1 = jax.nn.sigmoid(logits)
+            prob = jnp.concatenate([prob1, 1.0 - prob1], axis=-1)
+
+            if for_ == "G":
+                if cfg.lam_m_tv != 0:
+                    tl = L.tv_loss(prob1) * cfg.lam_m_tv
+                    total += tl
+                    metrics[f"m_tv_{domain}"] = tl
+                if domain == "s" and "m" in batch and cfg.lam_m_bce != 0:
+                    bl = L.bce_with_logits(
+                        logits, batch["m"].astype(jnp.float32)
+                    ) * cfg.lam_m_bce
+                    total += bl
+                    metrics["m_bce"] = bl
+                if domain == "r":
+                    if (cfg.m_use_ground_intersection and "m" in batch
+                            and cfg.lam_m_gi != 0):
+                        gl = L.ground_intersection_loss(
+                            prob1, batch["m"].astype(jnp.float32)
+                        ) * cfg.lam_m_gi
+                        total += gl
+                        metrics["m_gi"] = gl
+                    if cfg.use_pl4m and cfg.lam_m_pl4m != 0:
+                        pl = self._pl4m_loss(
+                            g_vars, d_vars, x, prob1, rng
+                        ) * cfg.lam_m_pl4m
+                        total += pl
+                        metrics["m_pl4m"] = pl
+                    if cfg.m_use_minent and cfg.ent_main != 0:
+                        ml = L.minent_loss(
+                            prob,
+                            version=2 if cfg.m_use_minent_var else 1,
+                            lambda_var=cfg.ent_var,
+                        ) * cfg.ent_main
+                        total += ml
+                        metrics["m_minent"] = ml
+
+            if cfg.m_use_advent:
+                dp = None
+                if cfg.m_use_dada and d_pred is not None:
+                    dp = jax.lax.stop_gradient(d_pred)
+                    dp = resize(dp, (x.shape[1], x.shape[2]), mode="nearest")
+                if for_ == "D":
+                    label = cfg.label_s if domain == "s" else cfg.label_r
+                    weight = cfg.adv_main
+                    pr = jax.lax.stop_gradient(prob)
+                else:
+                    label = cfg.label_s
+                    weight = cfg.adv_main
+                    pr = prob
+                if (for_ == "D" or domain == "r") and weight != 0:
+                    disc_fn = lambda e: D.apply(  # noqa: E731
+                        d_vars, e.astype(jnp.float32), method="disc_m",
+                    )
+                    al = L.advent_loss(
+                        pr, label, disc_fn, cfg.m_gan_type, dp
+                    ) * weight
+                    total += al
+                    metrics[f"m_advent_{for_}_{domain}"] = al
+
+        return total, metrics, gs1
+
+    def _paint(self, g_vars, x, m, rng):
+        return self.G.apply(
+            g_vars, m, x,
+            rng=None if self.G.cfg.p_no_z else rng,
+            method="paint",
+        )
+
+    def _disc_p(self, d_vars, inp, update_sn=False):
+        if update_sn:
+            return self.D.apply(
+                d_vars, inp, method="disc_p", update_sn=True,
+                mutable=["spectral"],
+            )
+        return self.D.apply(d_vars, inp, method="disc_p"), None
+
+    def _p_gan_loss(self, pred, target_is_real, rng, for_discriminator):
+        cfg = self.cfg
+        if cfg.p_loss == "hinge":
+            return L.hinge_loss(pred, target_is_real, for_discriminator)
+        return L.gan_loss(
+            pred, target_is_real, rng,
+            use_lsgan=False, soft_shift=cfg.soft_shift,
+            flip_prob=cfg.flip_prob,
+        )
+
+    def _pl4m_loss(self, g_vars, d_vars, x, m, rng):
+        """Painter loss for the masker; painter weights frozen
+        (reference trainer.py:1618-1651)."""
+        frozen = dict(g_vars)
+        frozen["params"] = dict(g_vars["params"])
+        if "painter" in frozen["params"]:
+            frozen["params"]["painter"] = jax.lax.stop_gradient(
+                frozen["params"]["painter"]
+            )
+        fake = self._paint(frozen, x, m, rng)
+        real_fake = jnp.concatenate(
+            [jnp.concatenate([m, x], axis=-1),
+             jnp.concatenate([m, fake], axis=-1)], axis=0
+        )
+        pred, _ = self._disc_p(d_vars, real_fake)
+        _, fake_d = divide_pred(pred)
+        return self._p_gan_loss(fake_d, True, rng, for_discriminator=False)
+
+    def _painter_losses(self, g_vars, d_vars, batch, rng):
+        """Painter G losses on the rf domain (reference :1256-1387)."""
+        cfg = self.cfg
+        x = batch["x"].astype(jnp.float32)
+        m = batch["m"].astype(jnp.float32)
+        metrics = {}
+        total = 0.0
+
+        fake = self._paint(g_vars, x, m, rng)
+
+        if cfg.use_vgg and cfg.lam_p_vgg != 0 and self.vgg_variables is not None:
+            vl = L.vgg_loss(
+                self.vgg_variables,
+                vgg_preprocess(fake * m),
+                vgg_preprocess(x * m),
+            ) * cfg.lam_p_vgg
+            total += vl
+            metrics["p_vgg"] = vl
+        if cfg.lam_p_tv != 0:
+            tl = L.tv_loss(fake * m) * cfg.lam_p_tv
+            total += tl
+            metrics["p_tv"] = tl
+        if cfg.lam_p_context != 0:
+            cl = L.context_loss(fake, x, m) * cfg.lam_p_context
+            total += cl
+            metrics["p_context"] = cl
+        if cfg.lam_p_reconstruction != 0:
+            rl = L.reconstruction_loss(fake, x, m) * cfg.lam_p_reconstruction
+            total += rl
+            metrics["p_reconstruction"] = rl
+
+        real_fake = jnp.concatenate(
+            [jnp.concatenate([m, x], axis=-1),
+             jnp.concatenate([m, fake], axis=-1)], axis=0
+        )
+        pred, _ = self._disc_p(d_vars, real_fake)
+        real_d, fake_d = divide_pred(pred)
+
+        gl = self._p_gan_loss(fake_d, True, rng, for_discriminator=False)
+        total += gl
+        metrics["p_gan"] = gl
+
+        if cfg.lam_p_featmatch != 0:
+            fl = L.feat_match_loss(real_d, fake_d) * cfg.lam_p_featmatch
+            total += fl
+            metrics["p_featmatch"] = fl
+
+        return total, metrics
+
+    # ------------------------------------------------------------------
+    # the two jittable steps
+    # ------------------------------------------------------------------
+    def g_step(self, state: TrainState, batch: Dict[str, Dict[str, Array]],
+               lr_scale) -> Tuple[TrainState, Dict[str, Array]]:
+        """update_G: masker losses over r/s + painter loss over rf."""
+        rng, new_rng = jax.random.split(state.rng)
+        d_vars = _merge_vars(state.d_params, state.d_state)
+
+        def loss_fn(g_params):
+            g_vars = _merge_vars(g_params, state.g_state)
+            total = 0.0
+            metrics = {}
+            new_gstate = state.g_state
+            for domain in ("r", "s"):
+                if domain not in batch:
+                    continue
+                if not any(t in self.cfg.tasks for t in "msd"):
+                    continue
+                dl, dm, gs = self._masker_losses(
+                    g_vars, d_vars, batch[domain], domain, "G", rng,
+                    mutable=True,
+                )
+                total += dl
+                metrics.update(dm)
+                if gs:
+                    new_gstate = gs
+            if "p" in self.cfg.tasks and "rf" in batch:
+                pl, pm = self._painter_losses(g_vars, d_vars, batch["rf"], rng)
+                total += pl
+                metrics.update(pm)
+            metrics["g_total"] = total
+            return total, (metrics, new_gstate)
+
+        (loss, (metrics, new_gstate)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.g_params)
+
+        extrapolate = (state.step % 2) == 0
+        new_params, new_opt = extra_adam_step(
+            grads, state.g_opt, state.g_params,
+            lr=self.g_lr * lr_scale, extrapolate=extrapolate, b1=self.g_b1,
+        )
+        return state._replace(
+            g_params=new_params, g_state=new_gstate, g_opt=new_opt, rng=new_rng,
+        ), metrics
+
+    def d_step(self, state: TrainState, batch: Dict[str, Dict[str, Array]],
+               lr_scale) -> Tuple[TrainState, Dict[str, Array]]:
+        """update_D: painter D on rf + ADVENT m/s D on r/s."""
+        rng, new_rng = jax.random.split(state.rng)
+        g_vars = _merge_vars(state.g_params, state.g_state)
+
+        def loss_fn(d_params):
+            d_vars = _merge_vars(d_params, state.d_state)
+            total = 0.0
+            metrics = {}
+            for domain, dbatch in batch.items():
+                if domain == "rf" and "p" in self.cfg.tasks:
+                    x = dbatch["x"].astype(jnp.float32)
+                    m = dbatch["m"].astype(jnp.float32)
+                    fake = jax.lax.stop_gradient(self._paint(g_vars, x, m, rng))
+                    real_fake = jnp.concatenate(
+                        [jnp.concatenate([m, x], axis=-1),
+                         jnp.concatenate([m, fake], axis=-1)], axis=0
+                    )
+                    pred, _ = self._disc_p(d_vars, real_fake)
+                    real_d, fake_d = divide_pred(pred)
+                    dl = self._p_gan_loss(fake_d, False, rng, True)
+                    dl += self._p_gan_loss(real_d, True, rng, True)
+                    total += dl
+                    metrics["D_p_gan"] = dl
+                elif domain in ("r", "s"):
+                    dl, dm, _ = self._masker_losses(
+                        g_vars, d_vars, dbatch, domain, "D", rng,
+                        mutable=False,
+                    )
+                    # reference get_D_loss scales advent step losses again
+                    # by adv_main (trainer.py:1127,1155)
+                    total += dl * self.cfg.adv_main
+                    metrics.update(dm)
+            metrics["d_total"] = total
+            return total, metrics
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.d_params
+        )
+        extrapolate = (state.step % 2) == 0
+        new_params, new_opt = extra_adam_step(
+            grads, state.d_opt, state.d_params,
+            lr=self.d_lr * lr_scale, extrapolate=extrapolate, b1=self.d_b1,
+        )
+        return state._replace(
+            d_params=new_params, d_opt=new_opt, rng=new_rng,
+            step=state.step + 1,
+        ), metrics
+
+    def train_step(self, state, batch, g_lr_scale=1.0, d_lr_scale=1.0):
+        """One full step: update_G then update_D (reference run_epoch
+        :924-981); jit/shard-ready."""
+        state, g_metrics = self.g_step(state, batch, g_lr_scale)
+        state, d_metrics = self.d_step(state, batch, d_lr_scale)
+        return state, {**g_metrics, **d_metrics}
