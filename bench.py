@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Benchmark: images/sec/chip at 640x640 bf16 flood inference (Masker +
+Painter), the north-star metric from BASELINE.json.
+
+Runs on whatever accelerator JAX sees (the driver runs it on a real TPU
+chip). Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+vs_baseline: the reference repo publishes no numbers (BASELINE.md). We
+compare against a documented engineering estimate of the PyTorch reference
+at fp16 on a V100 (~12 img/s for the full flood path at 640^2 — see
+BASELINE.md "North-star"); the driver goal of ">= 2x V100" therefore reads
+as vs_baseline >= 2.0.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import statistics
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+REF_V100_IMGS_PER_SEC = 12.0  # documented estimate, see module docstring
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=12)
+    ap.add_argument("--warmup", type=int, default=2)
+    ap.add_argument("--size", type=int, default=640)
+    ap.add_argument("--events", choices=["flood", "all"], default="flood")
+    ap.add_argument("--dtype", choices=["bfloat16", "float32"],
+                    default="bfloat16")
+    args = ap.parse_args()
+
+    from climategan_tpu.inference import build_infer_fn
+    from climategan_tpu.utils.opts import load_opts
+
+    opts = load_opts()
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    ignore = ("wildfire", "smog") if args.events == "flood" else ()
+
+    G, infer = build_infer_fn(opts, dtype=dtype, ignore_event=ignore,
+                              donate=False)
+    rng = jax.random.PRNGKey(0)
+    print("initializing params...", file=sys.stderr)
+    x0 = jnp.zeros((1, args.size, args.size, 3), jnp.float32)
+    variables = jax.jit(G.init)(rng, x0)
+    variables = jax.device_put(variables)
+
+    x = jax.random.uniform(
+        rng, (args.batch, args.size, args.size, 3),
+        minval=-1.0, maxval=1.0,
+    )
+    x = jax.device_put(x)
+
+    print("compiling fused inference graph...", file=sys.stderr)
+    for _ in range(args.warmup):
+        out = infer(variables, x, rng)
+        jax.block_until_ready(out)
+
+    times = []
+    for i in range(args.iters):
+        t0 = time.perf_counter()
+        out = infer(variables, x, rng)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+
+    p50 = statistics.median(times)
+    imgs_per_sec = args.batch / p50
+    n_dev = max(1, len(jax.devices()))
+    per_chip = imgs_per_sec / 1  # single-chip bench; mesh bench divides
+
+    result = {
+        "metric": (
+            f"images/sec/chip at {args.size}x{args.size} "
+            f"{args.dtype} {args.events} inference (Masker+Painter)"
+        ),
+        "value": round(per_chip, 3),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(per_chip / REF_V100_IMGS_PER_SEC, 3),
+        "p50_batch_latency_s": round(p50, 4),
+        "batch": args.batch,
+        "n_devices_visible": n_dev,
+        "platform": jax.devices()[0].platform,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -192,7 +192,7 @@ class StepBuilder:
         n, h, w, _ = some_x.shape
         p_in = jnp.zeros((n, h, w, 4))
         m_in = jnp.zeros((n, h, w, 2))
-        s_in = jnp.zeros((n, 160, 160, self.D.cfg.s_num_classes))
+        s_in = jnp.zeros((n, 32, 32, self.D.cfg.s_num_classes))
         d_vars = self.D.init(kd, p_in, m_in, s_in)
         d_params, d_state = _split_vars(d_vars)
 

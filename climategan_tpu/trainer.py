@@ -1,0 +1,229 @@
+"""Trainer: orchestration of setup / train / eval / save / resume / infer.
+
+Re-design of the reference's 1939-line hub (climategan/trainer.py). The
+torch Trainer mutates models in place; here the Trainer owns a functional
+``TrainState`` and two jitted step functions (train_step.StepBuilder), plus
+host-side loaders, schedulers, checkpointing (orbax) and logging.
+
+API parity (reference anchors):
+  * Trainer(opts), .setup() (:702), .train() (:888), .run_epoch() (:924)
+  * .run_evaluation() (:1653), .save() (:396), .resume() (:422)
+  * .resume_from_path() (:336), .infer_all() (:217)
+  * compute_fire/flood/smog (:1824-1938) via the events package
+"""
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from climategan_tpu.data.datasets import get_all_loaders
+from climategan_tpu.inference import build_infer_fn
+from climategan_tpu.models.generator import create_generator
+from climategan_tpu.optim import make_lr_schedule
+from climategan_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from climategan_tpu.train_step import StepBuilder, TrainState
+from climategan_tpu.utils.logger import Logger
+from climategan_tpu.utils.opts import Opts, load_opts
+
+
+class Trainer:
+    def __init__(self, opts, comet_exp=None, verbose: int = 0):
+        self.opts = opts
+        self.verbose = verbose
+        self.logger = Logger(opts, comet_exp)
+        self.is_setup = False
+        self.loaders = None
+        self.builder: Optional[StepBuilder] = None
+        self.state: Optional[TrainState] = None
+        self.mesh = None
+        self._train_step = None
+        self._infer_fn = None
+        self.G = None
+        self.current_epoch = 0
+
+        self.g_sched = make_lr_schedule(opts.gen.opt)
+        self.d_sched = make_lr_schedule(opts.dis.opt)
+
+    # ------------------------------------------------------------------
+    def setup(self, inference: bool = False, rng_seed: int = 0):
+        rng = jax.random.PRNGKey(rng_seed)
+        self.G = create_generator(self.opts)
+
+        if inference:
+            dtype = (jnp.bfloat16
+                     if self.opts.tpu.get("inference_dtype", "bfloat16")
+                     == "bfloat16" else jnp.float32)
+            _, self._infer_fn = build_infer_fn(self.opts, dtype=dtype,
+                                               donate=False)
+            self.is_setup = True
+            return self
+
+        self.loaders = get_all_loaders(self.opts)
+        self.builder = StepBuilder(self.opts, vgg_variables=self._maybe_vgg(rng))
+        sample = self._sample_batch()
+        self.state = self.builder.init_state(rng, sample)
+
+        self.mesh = make_mesh()
+        self.state = replicate(self.mesh, self.state)
+        self._train_step = jax.jit(self.builder.train_step,
+                                   donate_argnums=(0,))
+        self.is_setup = True
+        return self
+
+    def _maybe_vgg(self, rng):
+        if float(self.opts.train.lambdas.G.p.vgg) == 0 or "p" not in self.opts.tasks:
+            return None
+        from climategan_tpu.losses import init_vgg
+
+        vgg_path = self.opts.get("vgg_weights") or None
+        variables = init_vgg(rng)
+        if vgg_path and Path(str(vgg_path)).exists():
+            from climategan_tpu.utils.convert import load_vgg19_weights
+
+            variables = load_vgg19_weights(str(vgg_path), variables)
+        return variables
+
+    def _sample_batch(self) -> Dict[str, Dict[str, np.ndarray]]:
+        batch = {}
+        for domain, loader in self.loaders["train"].items():
+            item = next(iter(loader))
+            batch[domain] = item["data"]
+        return batch
+
+    # ------------------------------------------------------------------
+    def train(self):
+        assert self.is_setup
+        epochs = int(self.opts.train.get("epochs", 1))
+        for epoch in range(self.current_epoch, epochs):
+            self.current_epoch = epoch
+            self.run_epoch()
+            self.run_evaluation()
+            self.save()
+
+    def run_epoch(self):
+        epoch = self.current_epoch
+        g_scale = self.g_sched(epoch)
+        d_scale = self.d_sched(epoch)
+        t0 = time.time()
+        n_steps = 0
+        for tup in zip(*self.loaders["train"].values()):
+            batch = {item["domain"]: item["data"] for item in tup}
+            batch = shard_batch(self.mesh, batch)
+            self.state, metrics = self._train_step(
+                self.state, batch, g_scale, d_scale
+            )
+            n_steps += 1
+            self.logger.log_step(self.global_step, metrics)
+        jax.block_until_ready(self.state.g_params)
+        dt = time.time() - t0
+        self.logger.log_epoch_time(epoch, dt, n_steps)
+
+    @property
+    def global_step(self) -> int:
+        return int(self.state.step) if self.state is not None else 0
+
+    # ------------------------------------------------------------------
+    def run_evaluation(self):
+        if self.loaders is None or not self.loaders.get("val"):
+            return {}
+        from climategan_tpu.eval_metrics import accuracy, mIOU
+
+        metrics: Dict[str, float] = {}
+        g_vars = {"params": self.state.g_params, **self.state.g_state}
+        n = 0
+        for tup in zip(*self.loaders["val"].values()):
+            for item in tup:
+                domain, data = item["domain"], item["data"]
+                if domain == "rf" or "s" not in data:
+                    continue
+                d, s, m = self.G.apply(
+                    g_vars, jnp.asarray(data["x"]), method="infer_masker"
+                )
+                pred = np.asarray(jnp.argmax(s, axis=-1))
+                tgt = np.asarray(data["s"])
+                metrics[f"val/acc_{domain}"] = (
+                    metrics.get(f"val/acc_{domain}", 0.0)
+                    + accuracy(pred, tgt)
+                )
+                metrics[f"val/mIOU_{domain}"] = (
+                    metrics.get(f"val/mIOU_{domain}", 0.0)
+                    + mIOU(pred, tgt)
+                )
+            n += 1
+        metrics = {k: v / max(n, 1) for k, v in metrics.items()}
+        self.logger.log_metrics(metrics)
+        return metrics
+
+    # ------------------------------------------------------------------
+    def save(self):
+        from climategan_tpu.utils.checkpoint import save_checkpoint
+
+        out = Path(str(self.opts.output_path)) / "checkpoints"
+        save_checkpoint(out, self.state, self.current_epoch, self.opts)
+        self.logger.print(f"saved checkpoint at epoch {self.current_epoch}")
+
+    def resume(self):
+        from climategan_tpu.utils.checkpoint import restore_checkpoint
+
+        out = Path(str(self.opts.output_path)) / "checkpoints"
+        state, epoch = restore_checkpoint(out, self.state)
+        if state is not None:
+            self.state = state
+            self.current_epoch = epoch + 1
+            self.logger.print(f"resumed from epoch {epoch}")
+            return True
+        return False
+
+    @classmethod
+    def resume_from_path(cls, path, inference: bool = True, setup: bool = True,
+                         overrides=None):
+        """Load a trainer (inference mode) from a run directory containing
+        opts.json/opts.yaml + checkpoints (reference trainer.py:336-394)."""
+        path = Path(str(path))
+        opts_file = None
+        for cand in ("opts.json", "opts.yaml", "opts.yml"):
+            if (path / cand).exists():
+                opts_file = path / cand
+                break
+        if opts_file is None:
+            opts = load_opts(commandline_opts=overrides)
+        else:
+            opts = load_opts(path=opts_file, commandline_opts=overrides)
+        opts.output_path = str(path)
+        trainer = cls(opts)
+        if setup:
+            trainer.setup(inference=inference)
+        return trainer
+
+    # ------------------------------------------------------------------
+    def infer_all(self, x, numpy: bool = True, stores: Optional[dict] = None,
+                  bin_value: float = 0.5, cloudy: bool = True,
+                  ignore_event=(), rng_seed: int = 0,
+                  variables: Optional[dict] = None):
+        """Full-event inference on an NHWC [-1,1] batch
+        (reference trainer.py:217-334)."""
+        assert self.is_setup
+        if self._infer_fn is None:
+            dtype = jnp.bfloat16
+            _, self._infer_fn = build_infer_fn(
+                self.opts, dtype=dtype, bin_value=bin_value, cloudy=cloudy,
+                ignore_event=tuple(ignore_event), donate=False,
+            )
+        if variables is None:
+            assert self.state is not None, "no weights loaded"
+            variables = {"params": self.state.g_params, **self.state.g_state}
+        rng = jax.random.PRNGKey(rng_seed)
+        t0 = time.time()
+        out = self._infer_fn(variables, jnp.asarray(x), rng)
+        out = jax.block_until_ready(out)
+        if stores is not None:
+            stores.setdefault("all events", []).append(time.time() - t0)
+        if numpy:
+            out = {k: np.asarray(v) for k, v in out.items()}
+        return out

