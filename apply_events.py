@@ -1,0 +1,200 @@
+#!/usr/bin/env python
+"""Batch inference CLI: render flood / wildfire / smog onto a folder of
+street-level images.
+
+Re-design of reference apply_events.py: same flag surface and per-stage
+Timer report, but the whole model+events pipeline is ONE jitted bf16 XLA
+graph per input shape (the reference runs 8 separate stages with host
+round-trips).
+
+Usage:
+  python apply_events.py -i ./images -o ./outputs -r ./model_dir -b 8
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("-i", "--images_paths", type=str, required=True,
+                   help="Path to a directory with image files")
+    p.add_argument("-o", "--output_path", type=str, default=None,
+                   help="Output directory (default: <input>/climategan_outputs)")
+    p.add_argument("-r", "--resume_path", type=str, default=None,
+                   help="Run dir with checkpoints (opts.json + checkpoints/)")
+    p.add_argument("-b", "--batch_size", type=int, default=4)
+    p.add_argument("--half", action="store_true",
+                   help="bf16 inference (TPU-native half precision)")
+    p.add_argument("--flood_mask_binarization", type=float, default=0.5)
+    p.add_argument("--keep_ratio_128", action="store_true",
+                   help="Keep aspect ratio, round dims to multiples of 128")
+    p.add_argument("--max_im_width", type=int, default=-1)
+    p.add_argument("--no_cloudy", action="store_true")
+    p.add_argument("--ignore_event", nargs="*", default=[],
+                   choices=["flood", "wildfire", "smog"])
+    p.add_argument("--time", action="store_true", dest="time_inference",
+                   help="Print the per-stage timing report")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--fuse", action="store_true",
+                   help="(compat flag: BN folding is automatic under XLA)")
+    return p.parse_args()
+
+
+def to_128(n: int, max_width: int = -1) -> int:
+    """Closest multiple of 128 (reference utils.py:998-1007)."""
+    n = max(128, int(round(n / 128)) * 128)
+    if max_width > 0:
+        n = min(n, (max_width // 128) * 128)
+    return n
+
+
+def find_images(path: Path):
+    exts = {".jpg", ".jpeg", ".png", ".bmp", ".webp", ".tif", ".tiff"}
+    return sorted(p for p in path.iterdir() if p.suffix.lower() in exts)
+
+
+def resize_and_crop(img: np.ndarray, to: int = 640) -> np.ndarray:
+    """Resize keeping AR so smallest side == to, then center-crop to^2
+    (reference apply_events.py:211-241)."""
+    import cv2
+
+    h, w = img.shape[:2]
+    if h < w:
+        nh, nw = to, int(round(w * to / h))
+    else:
+        nh, nw = int(round(h * to / w)), to
+    img = cv2.resize(img, (nw, nh), interpolation=cv2.INTER_LINEAR)
+    top = (nh - to) // 2
+    left = (nw - to) // 2
+    return img[top: top + to, left: left + to]
+
+
+def resize_keep_128(img: np.ndarray, max_width: int = -1) -> np.ndarray:
+    import cv2
+
+    h, w = img.shape[:2]
+    nw = to_128(w, max_width)
+    nh = to_128(h, max_width)
+    return cv2.resize(img, (nw, nh), interpolation=cv2.INTER_LINEAR)
+
+
+def uint8_to_m11(img: np.ndarray) -> np.ndarray:
+    x = img.astype(np.float32) / 255.0
+    return x * 2.0 - 1.0
+
+
+def main():
+    args = parse_args()
+    stores = {
+        k: [] for k in
+        ("imports", "setup", "data pre-processing", "all events",
+         "write", "numpy")
+    }
+
+    t0 = time.perf_counter()
+    import cv2
+    import jax
+    import jax.numpy as jnp
+
+    from climategan_tpu.inference import build_infer_fn
+    from climategan_tpu.utils.opts import load_opts
+    from climategan_tpu.utils.timer import Timer, stores_report
+    stores["imports"].append(time.perf_counter() - t0)
+
+    in_dir = Path(args.images_paths).expanduser().resolve()
+    out_dir = (Path(args.output_path).expanduser().resolve()
+               if args.output_path else in_dir / "climategan_outputs")
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    with Timer(store=stores["setup"]):
+        variables = None
+        if args.resume_path:
+            from climategan_tpu.utils.checkpoint import load_generator_variables
+
+            run = Path(args.resume_path).expanduser().resolve()
+            opts_file = next(
+                (run / c for c in ("opts.json", "opts.yaml")
+                 if (run / c).exists()), None)
+            opts = load_opts(path=opts_file)
+            variables = load_generator_variables(run / "checkpoints", None)
+        else:
+            opts = load_opts()
+
+        dtype = jnp.bfloat16 if args.half else jnp.float32
+        G, infer = build_infer_fn(
+            opts, dtype=dtype,
+            bin_value=args.flood_mask_binarization,
+            cloudy=not args.no_cloudy,
+            ignore_event=tuple(args.ignore_event),
+            donate=False,
+        )
+        rng = jax.random.PRNGKey(args.seed)
+        if variables is None:
+            print("WARNING: no -r/--resume_path given; using random weights "
+                  "(pipeline timing/smoke mode)", file=sys.stderr)
+            variables = jax.jit(G.init)(
+                rng, jnp.zeros((1, 640, 640, 3), jnp.float32)
+            )
+
+    paths = find_images(in_dir)
+    if not paths:
+        print(f"No images found in {in_dir}", file=sys.stderr)
+        return 1
+    print(f"Found {len(paths)} images; batch={args.batch_size}")
+
+    with Timer(store=stores["data pre-processing"]):
+        imgs = []
+        for p in paths:
+            arr = cv2.imread(str(p), cv2.IMREAD_COLOR)[..., ::-1]
+            if args.keep_ratio_128:
+                arr = resize_keep_128(arr, args.max_im_width)
+            else:
+                arr = resize_and_crop(arr, 640)
+            imgs.append(uint8_to_m11(arr))
+
+    # group identical shapes (XLA static shapes; one compile per bucket)
+    by_shape = {}
+    for p, a in zip(paths, imgs):
+        by_shape.setdefault(a.shape, []).append((p, a))
+
+    for shape, items in by_shape.items():
+        for i in range(0, len(items), args.batch_size):
+            chunk = items[i: i + args.batch_size]
+            batch = np.stack([a for _, a in chunk])
+            # pad to full batch for a single compiled shape
+            pad = args.batch_size - len(chunk)
+            if pad and len(by_shape) == 1:
+                batch = np.concatenate(
+                    [batch, np.repeat(batch[-1:], pad, axis=0)], axis=0
+                )
+            with Timer(store=stores["all events"]):
+                out = infer(variables, jnp.asarray(batch), rng)
+                out = jax.block_until_ready(out)
+            with Timer(store=stores["numpy"]):
+                out = {k: np.asarray(v) for k, v in out.items()}
+            with Timer(store=stores["write"]):
+                for j, (p, _) in enumerate(chunk):
+                    stem = p.stem
+                    for event in ("flood", "wildfire", "smog"):
+                        if event in out:
+                            cv2.imwrite(
+                                str(out_dir / f"{stem}_{event}.png"),
+                                out[event][j][..., ::-1],
+                            )
+            print(f"  processed {i + len(chunk)}/{len(items)} @ {shape}")
+
+    if args.time_inference:
+        print("\n--- timing report (s) ---")
+        print(stores_report(stores))
+    print(f"Outputs written to {out_dir}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -62,7 +62,7 @@ def increase_sky_mask(mask: jax.Array, p_w: float, p_h: float) -> jax.Array:
     wh = max(2 * n_h - 1, 1)
     ww = max(2 * n_w - 1, 1)
     return jax.lax.reduce_window(
-        mask, jnp.array(0.0, mask.dtype), jax.lax.max,
+        mask, 0.0, jax.lax.max,
         window_dimensions=(1, wh, ww, 1),
         window_strides=(1, 1, 1, 1),
         padding=((0, 0), (wh // 2, wh // 2), (ww // 2, ww // 2), (0, 0)),
@@ -83,16 +83,26 @@ def add_fire(
     kernel_sigma: float = 140.5,
     crop_bottom_sky_mask: bool = True,
     transparency: float = 200.0,
+    use_pallas: bool | None = None,
 ) -> jax.Array:
     """Wildfire rendering. x: NHWC [-1,1]-ish, seg_preds: NHWC logits."""
+    if use_pallas is None:
+        use_pallas = x.shape[2] % 128 == 0
+
     wf = normalize(x, 0.0, 255.0)
 
     # warm shift (RGB channel order; reference indexes NCHW channels 0/1/2)
     shift = jnp.array([40.0, -10.0, -20.0], dtype=wf.dtype)
     wf = _quantize_u8(wf + shift)
 
-    wf = _adjust_contrast(wf, 1.5)
-    wf = _adjust_brightness(wf, 0.73)
+    if use_pallas:
+        from climategan_tpu.ops.pallas.events import fire_color_grade
+
+        gray_mean = jnp.mean(_grayscale(wf))
+        wf = fire_color_grade(wf, gray_mean, 1.5, 0.73)
+    else:
+        wf = _adjust_contrast(wf, 1.5)
+        wf = _adjust_brightness(wf, 0.73)
 
     sky = retrieve_sky_mask(seg_preds).astype(jnp.float32)[..., None]
     if crop_bottom_sky_mask:
@@ -105,17 +115,22 @@ def add_fire(
     sky = gaussian_blur(sky, kernel_size, kernel_sigma)
 
     g_value = jax.random.randint(rng, (), 100, 151).astype(wf.dtype)
-    filter_ = jnp.stack(
-        [
-            jnp.full(wf.shape[:3], 255.0, wf.dtype),
-            jnp.full(wf.shape[:3], 1.0, wf.dtype) * g_value,
-            jnp.zeros(wf.shape[:3], wf.dtype),
-        ],
-        axis=-1,
-    )
 
-    wf = paste_tensor(wf, filter_, sky, transparency)
-    wf = _adjust_brightness(_quantize_u8(wf), 0.8)
+    if use_pallas:
+        from climategan_tpu.ops.pallas.events import fire_paste
+
+        wf = fire_paste(wf, sky, g_value, transparency, 0.8)
+    else:
+        filter_ = jnp.stack(
+            [
+                jnp.full(wf.shape[:3], 255.0, wf.dtype),
+                jnp.full(wf.shape[:3], 1.0, wf.dtype) * g_value,
+                jnp.zeros(wf.shape[:3], wf.dtype),
+            ],
+            axis=-1,
+        )
+        wf = paste_tensor(wf, filter_, sky, transparency)
+        wf = _adjust_brightness(_quantize_u8(wf), 0.8)
 
     # dummy pixels to pin the [0,255] range for downstream min-max scaling
     wf = wf.at[:, 0, 0, :].set(255.0)

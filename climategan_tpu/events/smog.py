@@ -27,9 +27,10 @@ def add_smog(
     vr: float = 1.0,
     yellow_color=(224, 192, 29),
     alpha: float = 20.0,
+    use_pallas: bool | None = None,
 ) -> jax.Array:
     """x: NHWC image, d: NHWC(1) raw depth prediction. Returns [0,1] sRGB."""
-    irradiance = srgb2lrgb(x)
+    x01 = normalize(x)
 
     dd = normalize(d, 0.3, 1.0)
     dd = 1.0 / dd
@@ -38,9 +39,16 @@ def add_smog(
     dd = resize(dd, (x.shape[1], x.shape[2]), mode="bilinear", align_corners=True)
 
     b = beta / vr
-    transmission = jnp.exp(dd * -b)
+    if use_pallas is None:
+        use_pallas = x.shape[2] % 128 == 0
+    if use_pallas:
+        from climategan_tpu.ops.pallas.events import smog_tail
 
-    smogged = transmission * irradiance + (1.0 - transmission) * airlight
+        return smog_tail(x01, dd, airlight, b, tuple(yellow_color), alpha)
+
+    transmission = jnp.exp(dd * -b)
+    lin = jnp.where(x01 <= 0.04045, x01 / 12.92, ((x01 + 0.055) / 1.055) ** 2.4)
+    smogged = transmission * lin + (1.0 - transmission) * airlight
     smogged = lrgb2srgb(smogged)
 
     a = alpha / 255.0

@@ -25,13 +25,14 @@ from climategan_tpu.models.norms import InstanceNorm, SNConv
 def avg_pool_3x3_s2_no_pad_count(x: jax.Array) -> jax.Array:
     """torch AvgPool2d(3, stride=2, padding=1, count_include_pad=False)."""
     ones = jnp.ones(x.shape[1:3], x.dtype)[None, :, :, None]
+    # init must be a literal (see resnet.max_pool_3x3_s2)
     sum_ = jax.lax.reduce_window(
-        x, jnp.array(0.0, x.dtype), jax.lax.add,
+        x, 0.0, jax.lax.add,
         window_dimensions=(1, 3, 3, 1), window_strides=(1, 2, 2, 1),
         padding=((0, 0), (1, 1), (1, 1), (0, 0)),
     )
     cnt = jax.lax.reduce_window(
-        ones, jnp.array(0.0, x.dtype), jax.lax.add,
+        ones, 0.0, jax.lax.add,
         window_dimensions=(1, 3, 3, 1), window_strides=(1, 2, 2, 1),
         padding=((0, 0), (1, 1), (1, 1), (0, 0)),
     )

@@ -22,9 +22,10 @@ from climategan_tpu.models.norms import BatchNorm, SNConv
 
 def max_pool_3x3_s2(x: jax.Array) -> jax.Array:
     """torch MaxPool2d(kernel_size=3, stride=2, padding=1) on NHWC."""
-    neg_inf = jnp.array(-jnp.inf, dtype=x.dtype)
+    # init must be a literal: a jnp.array init breaks linearization of
+    # reduce_window under jit-of-grad (jax 0.9)
     return jax.lax.reduce_window(
-        x, neg_inf, jax.lax.max,
+        x, -float("inf"), jax.lax.max,
         window_dimensions=(1, 3, 3, 1),
         window_strides=(1, 2, 2, 1),
         padding=((0, 0), (1, 1), (1, 1), (0, 0)),

@@ -1,0 +1,223 @@
+"""Fused Pallas elementwise kernels for the event-compositing hot path.
+
+The BASELINE north star calls for the HazeRD smog filter and the wildfire
+compositing to run as Pallas elementwise kernels. Each kernel fuses a long
+chain of VPU ops (sRGB decode, exp, blends, quantization) into one VMEM
+pass over the image planes, with the reductions (per-image min/max, gray
+mean) and the MXU work (resizes, blur) staying in the surrounding XLA graph.
+
+Layout: images are processed as separate R/G/B planes of shape (M, W) with
+M = N*H — W is a multiple of 128 (lane dim) on every supported input size
+(640 or keep_ratio_128), and M tiles the sublane dim.
+
+CPU fallback: kernels run in interpreter mode when no TPU is present, so
+the same code path is exercised by the test suite.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # pltpu only resolves on TPU builds; ANY works everywhere
+    from jax.experimental.pallas import tpu as pltpu
+
+    _VMEM = pltpu.VMEM
+except Exception:  # pragma: no cover
+    _VMEM = pl.ANY
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _tile(M: int) -> int:
+    for t in (512, 256, 128, 64, 32, 16, 8):
+        if M % t == 0:
+            return t
+    return M
+
+
+def _plane_specs(n: int, tile: int, W: int):
+    return [
+        pl.BlockSpec((tile, W), lambda i: (i, 0), memory_space=_VMEM)
+        for _ in range(n)
+    ]
+
+
+def _srgb2lrgb(x):
+    lin = ((x + 0.055) / 1.055) ** 2.4
+    return jnp.where(x <= 0.04045, x / 12.92, lin)
+
+
+def _lrgb2srgb(x):
+    high = 1.055 * jnp.power(jnp.maximum(x, 1e-12), 1.0 / 2.4) - 0.055
+    return jnp.where(x <= 0.0031308, 12.92 * x, high)
+
+
+# ---------------------------------------------------------------------------
+# smog tail: x01, d -> smogged sRGB with yellow tint
+# ---------------------------------------------------------------------------
+
+
+def smog_tail(x01: jax.Array, d: jax.Array, airlight: float, beta: float,
+              yellow: Tuple[float, float, float], alpha: float) -> jax.Array:
+    """x01: (N,H,W,3) min-max normalized sRGB; d: (N,H,W,1) normalized
+    inverse depth. Fuses reference trainer.py:1900-1938 elementwise tail."""
+    N, H, W, _ = x01.shape
+    M = N * H
+    tile = _tile(M)
+    a = alpha / 255.0
+    ys = tuple(y / 255.0 for y in yellow)
+
+    def kernel(r_ref, g_ref, b_ref, d_ref, ro_ref, go_ref, bo_ref):
+        t = jnp.exp(d_ref[:] * (-beta))
+        for ref, out, yc in ((r_ref, ro_ref, ys[0]), (g_ref, go_ref, ys[1]),
+                             (b_ref, bo_ref, ys[2])):
+            lin = _srgb2lrgb(ref[:])
+            sm = t * lin + (1.0 - t) * airlight
+            sm = _lrgb2srgb(sm)
+            out[:] = sm * (1.0 - a) + yc * a
+
+    planes = [x01[..., c].reshape(M, W).astype(jnp.float32) for c in range(3)]
+    dflat = d[..., 0].reshape(M, W).astype(jnp.float32)
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(M // tile,),
+        in_specs=_plane_specs(4, tile, W),
+        out_specs=tuple(_plane_specs(3, tile, W)),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((M, W), jnp.float32) for _ in range(3)
+        ),
+        interpret=_interpret(),
+    )(*planes, dflat)
+    return jnp.stack(outs, axis=-1).reshape(N, H, W, 3)
+
+
+# ---------------------------------------------------------------------------
+# fire stage 1: warm shift + contrast + brightness (after batch gray mean)
+# ---------------------------------------------------------------------------
+
+
+def fire_color_grade(x255: jax.Array, gray_mean: jax.Array,
+                     contrast: float = 1.5,
+                     brightness: float = 0.73) -> jax.Array:
+    """x255: (N,H,W,3) in [0,255] AFTER warm shift+quantize; applies
+    torchvision-style contrast (around gray_mean) then brightness, with
+    uint8 truncation after each (reference fire.py:89-91)."""
+    N, H, W, _ = x255.shape
+    M = N * H
+    tile = _tile(M)
+
+    def kernel(r_ref, g_ref, b_ref, m_ref, ro_ref, go_ref, bo_ref):
+        mean = m_ref[0, 0]
+        for ref, out in ((r_ref, ro_ref), (g_ref, go_ref), (b_ref, bo_ref)):
+            v = contrast * ref[:] + (1.0 - contrast) * mean
+            v = jnp.floor(jnp.clip(v, 0.0, 255.0))
+            v = brightness * v
+            out[:] = jnp.floor(jnp.clip(v, 0.0, 255.0))
+
+    planes = [x255[..., c].reshape(M, W).astype(jnp.float32) for c in range(3)]
+    mean_arr = jnp.broadcast_to(
+        gray_mean.astype(jnp.float32).reshape(1, 1), (1, 128)
+    )
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(M // tile,),
+        in_specs=_plane_specs(3, tile, W) + [
+            pl.BlockSpec((1, 128), lambda i: (0, 0), memory_space=_VMEM)
+        ],
+        out_specs=tuple(_plane_specs(3, tile, W)),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((M, W), jnp.float32) for _ in range(3)
+        ),
+        interpret=_interpret(),
+    )(*planes, mean_arr)
+    return jnp.stack(outs, axis=-1).reshape(N, H, W, 3)
+
+
+# ---------------------------------------------------------------------------
+# fire stage 2: paste red filter through blurred sky mask + final brightness
+# ---------------------------------------------------------------------------
+
+
+def fire_paste(x255: jax.Array, sky: jax.Array, g_value: jax.Array,
+               transparency: float = 200.0,
+               brightness: float = 0.8) -> jax.Array:
+    """Paste (255, g, 0) through `sky` alpha at transparency/255, then
+    brightness with uint8 truncation (reference fire.py:113-121)."""
+    N, H, W, _ = x255.shape
+    M = N * H
+    tile = _tile(M)
+    t = transparency / 255.0
+
+    def kernel(r_ref, g_ref, b_ref, s_ref, gv_ref, ro_ref, go_ref, bo_ref):
+        m = t * s_ref[:]
+        gv = gv_ref[0, 0]
+        filt = (255.0, gv, 0.0)
+        for ref, out, f in ((r_ref, ro_ref, filt[0]), (g_ref, go_ref, filt[1]),
+                            (b_ref, bo_ref, filt[2])):
+            v = m * f + (1.0 - m) * ref[:]
+            v = jnp.floor(jnp.clip(v, 0.0, 255.0))
+            out[:] = jnp.floor(jnp.clip(brightness * v, 0.0, 255.0))
+
+    planes = [x255[..., c].reshape(M, W).astype(jnp.float32) for c in range(3)]
+    sflat = sky[..., 0].reshape(M, W).astype(jnp.float32)
+    gv_arr = jnp.broadcast_to(
+        g_value.astype(jnp.float32).reshape(1, 1), (1, 128)
+    )
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(M // tile,),
+        in_specs=_plane_specs(4, tile, W) + [
+            pl.BlockSpec((1, 128), lambda i: (0, 0), memory_space=_VMEM)
+        ],
+        out_specs=tuple(_plane_specs(3, tile, W)),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((M, W), jnp.float32) for _ in range(3)
+        ),
+        interpret=_interpret(),
+    )(*planes, sflat, gv_arr)
+    return jnp.stack(outs, axis=-1).reshape(N, H, W, 3)
+
+
+# ---------------------------------------------------------------------------
+# masked paste (flood compositing): x*(1-m) + fake*m
+# ---------------------------------------------------------------------------
+
+
+def masked_blend(x: jax.Array, fake: jax.Array, m: jax.Array) -> jax.Array:
+    """Flood paste-original-content blend (reference generator.py:292-297)."""
+    N, H, W, C = x.shape
+    M = N * H
+    tile = _tile(M)
+
+    def kernel(*refs):
+        n_in = 2 * C + 1
+        xs, fs, m_ref = refs[:C], refs[C:2 * C], refs[2 * C]
+        outs = refs[n_in:]
+        mm = m_ref[:]
+        for xr, fr, out in zip(xs, fs, outs):
+            out[:] = xr[:] * (1.0 - mm) + fr[:] * mm
+
+    xp = [x[..., c].reshape(M, W).astype(jnp.float32) for c in range(C)]
+    fp = [fake[..., c].reshape(M, W).astype(jnp.float32) for c in range(C)]
+    mp = m[..., 0].reshape(M, W).astype(jnp.float32)
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(M // tile,),
+        in_specs=_plane_specs(2 * C + 1, tile, W),
+        out_specs=tuple(_plane_specs(C, tile, W)),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((M, W), jnp.float32) for _ in range(C)
+        ),
+        interpret=_interpret(),
+    )(*xp, *fp, mp)
+    return jnp.stack(outs, axis=-1).reshape(N, H, W, C).astype(x.dtype)

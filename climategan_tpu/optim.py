@@ -32,12 +32,12 @@ class ExtraAdamState(NamedTuple):
 
 
 def init_extra_adam(params: PyTree) -> ExtraAdamState:
-    zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
     return ExtraAdamState(
         count=jnp.zeros((), jnp.int32),
-        mu=zeros,
+        mu=jax.tree_util.tree_map(jnp.zeros_like, params),
         nu=jax.tree_util.tree_map(jnp.zeros_like, params),
-        saved=params,
+        # fresh buffers: `saved` must not alias `params` (buffer donation)
+        saved=jax.tree_util.tree_map(jnp.copy, params),
     )
 
 

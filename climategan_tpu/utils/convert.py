@@ -360,6 +360,38 @@ def convert_generator(variables: Dict, state_dict: Dict, cfg) -> Dict:
     return vt.result()
 
 
+def load_inception_weights(path: str, variables: Dict) -> Dict:
+    """torchvision/pytorch-fid inception_v3 state dict -> InceptionV3Features.
+
+    The flax module names mirror torchvision's (Conv2d_1a_3x3,
+    Mixed_5b.branch1x1, ...), so the mapping is a tree walk over every
+    ConvBN (conv + bn pair).
+    """
+    sd = load_torch_state_dict(path)
+    vt = VariableTree(variables)
+
+    def walk(node: Dict, path: Tuple[str, ...]):
+        if "conv" in node and "bn" in node:
+            tkey = ".".join(path)
+            vt.set("params", path + ("conv", "kernel"),
+                   conv_w(sd[f"{tkey}.conv.weight"]))
+            vt.set("params", path + ("bn", "scale"),
+                   _t(sd[f"{tkey}.bn.weight"]))
+            vt.set("params", path + ("bn", "bias"),
+                   _t(sd[f"{tkey}.bn.bias"]))
+            vt.set("batch_stats", path + ("bn", "mean"),
+                   _t(sd[f"{tkey}.bn.running_mean"]))
+            vt.set("batch_stats", path + ("bn", "var"),
+                   _t(sd[f"{tkey}.bn.running_var"]))
+            return
+        for k, v in node.items():
+            if isinstance(v, dict):
+                walk(v, path + (k,))
+
+    walk(vt.v["params"], ())
+    return vt.result()
+
+
 def load_vgg19_weights(path: str, variables: Dict) -> Dict:
     """torchvision vgg19 state dict -> VGG19Features variables."""
     sd = load_torch_state_dict(path)

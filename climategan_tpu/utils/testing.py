@@ -13,7 +13,9 @@ from climategan_tpu.utils.opts import load_opts
 def tiny_opts(image_size: int = 64, tasks=("d", "s", "m", "p")):
     """Small-but-complete opts: thin encoder, narrow painter, tiny targets."""
     assert image_size % 32 == 0
-    feat = image_size // 4  # d/s target size
+    # d/s target sizes: must survive 5 stride-2 convs in the ADVENT
+    # discriminators (>= 32), like the reference's 160x160 targets
+    feat = max(image_size // 4, 32)
     overrides = {
         "tasks": list(tasks),
         "gen": {

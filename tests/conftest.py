@@ -17,6 +17,11 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The environment's sitecustomize imports jax at interpreter startup with
+# JAX_PLATFORMS=axon (remote TPU tunnel), locking the config before this
+# file runs — override the config value itself, not just the env var.
+jax.config.update("jax_platforms", "cpu")
+
 jax.config.update("jax_default_matmul_precision", "highest")
 
 # Persistent compilation cache: this host has a single CPU core and XLA

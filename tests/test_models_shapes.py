@@ -84,7 +84,7 @@ def test_mask_spade_decoder():
 
 def test_painter_no_z():
     cond = jnp.ones((1, 128, 128, 3))
-    m = PainterSpadeDecoder(latent_dim=16)
+    m = PainterSpadeDecoder(latent_dim=32)
     variables = m.init(KEY, None, cond)
     y = m.apply(variables, None, cond)
     assert y.shape == (1, 128, 128, 3)
