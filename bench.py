@@ -58,17 +58,29 @@ def main():
     )
     x = jax.device_put(x)
 
+    def sync(out):
+        # On the remote-tunnel platform block_until_ready can return before
+        # execution completes; a device->host readback of one element is an
+        # unambiguous full sync.
+        jax.block_until_ready(out)
+        import numpy as _np
+
+        for v in out.values():
+            _np.asarray(v[0, 0, 0])
+
     print("compiling fused inference graph...", file=sys.stderr)
     for _ in range(args.warmup):
         out = infer(variables, x, rng)
-        jax.block_until_ready(out)
+        sync(out)
 
     times = []
+    t_all0 = time.perf_counter()
     for i in range(args.iters):
         t0 = time.perf_counter()
         out = infer(variables, x, rng)
-        jax.block_until_ready(out)
+        sync(out)
         times.append(time.perf_counter() - t0)
+    wall = time.perf_counter() - t_all0
 
     p50 = statistics.median(times)
     imgs_per_sec = args.batch / p50
@@ -84,6 +96,7 @@ def main():
         "unit": "images/sec/chip",
         "vs_baseline": round(per_chip / REF_V100_IMGS_PER_SEC, 3),
         "p50_batch_latency_s": round(p50, 4),
+        "wall_imgs_per_sec": round(args.batch * args.iters / wall, 3),
         "batch": args.batch,
         "n_devices_visible": n_dev,
         "platform": jax.devices()[0].platform,

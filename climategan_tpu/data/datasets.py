@@ -81,6 +81,11 @@ def load_task(path: str, task: str, domain: str, opts) -> np.ndarray:
     suffix = Path(path).suffix.lower()
 
     if task == "s":
+        if domain == "kitti":
+            from climategan_tpu.data.palettes import process_kitti_seg
+
+            labels = process_kitti_seg(_imread(path))
+            return labels.astype(np.int32)[None, :, :, None]
         if suffix == ".npy":
             arr = np.load(path)
         elif suffix in (".pt", ".pth"):

@@ -76,17 +76,29 @@ class DeepLabDecoder(nn.Module):
 
 
 class DeepLabV3Decoder(nn.Module):
-    """Full segmentation head: (z_high, z_low) [, z_depth] -> logits."""
+    """Full segmentation head: (z_high, z_low) [, z_depth] -> logits.
+
+    backbone == "resnet": ASPP + low-level decoder; "mobilenet": separable
+    DeepLabHead (reference deeplab_v3.py:256-261).
+    """
 
     num_classes: int = 11
     use_dada: bool = True
     target_size: Tuple[int, int] = (640, 640)
+    backbone: str = "resnet"
 
     @nn.compact
     def __call__(self, z, z_depth=None, train: bool = False):
         z_high, z_low = z
         if z_depth is not None and self.use_dada:
             z_high = z_high * z_depth
-        feat = ASPP(name="aspp")(z_high, train=train)
-        s = DeepLabDecoder(self.num_classes, name="decoder")(z_low, feat, train)
+        if self.backbone == "resnet":
+            feat = ASPP(name="aspp")(z_high, train=train)
+            s = DeepLabDecoder(self.num_classes, name="decoder")(
+                z_low, feat, train
+            )
+        else:
+            from climategan_tpu.models.mobilenet import DeepLabHead
+
+            s = DeepLabHead(self.num_classes, name="head")(z_high, train)
         return resize(s, self.target_size, mode="bilinear", align_corners=True)

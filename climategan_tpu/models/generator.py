@@ -32,6 +32,7 @@ class GenConfig:
 
     tasks: Tuple[str, ...] = ("d", "s", "m", "p")
     # encoder
+    backbone: str = "resnet"  # resnet | mobilenet
     output_stride: int = 8
     encoder_layers: Tuple[int, ...] = (3, 4, 23, 3)
     # depth head
@@ -79,6 +80,7 @@ class GenConfig:
         s_size = int(sizes.get("s", sizes.get("default", 640)))
         return cls(
             tasks=tuple(opts.tasks),
+            backbone=g.deeplabv3.get("backbone", "resnet"),
             output_stride=int(g.deeplabv3.get("output_stride", 8)),
             encoder_layers=tuple(
                 g.deeplabv2.get("nblocks", (3, 4, 23, 3)) or (3, 4, 23, 3)
@@ -127,19 +129,28 @@ class OmniGenerator(nn.Module):
 
     def setup(self):
         c = self.cfg
+        res_dim = 320 if c.backbone == "mobilenet" else 2048
+        low_dim = 24 if c.backbone == "mobilenet" else 256
         if any(t in c.tasks for t in "msd"):
-            self.encoder = ResNetEncoder(
-                layers=c.encoder_layers, output_stride=c.output_stride
-            )
+            if c.backbone == "mobilenet":
+                from climategan_tpu.models.mobilenet import MobileNetV2Encoder
+
+                self.encoder = MobileNetV2Encoder()
+            else:
+                self.encoder = ResNetEncoder(
+                    layers=c.encoder_layers, output_stride=c.output_stride
+                )
         if "d" in c.tasks:
             if c.d_architecture == "dada":
                 self.depth_decoder = DADADepthDecoder(
+                    res_dim=res_dim,
                     do_feat_fusion=c.m_use_dada or ("s" in c.tasks and c.s_use_dada),
                     upsample_featuremaps=c.d_upsample_featuremaps,
                     target_size=c.d_target_size,
                 )
             else:
                 self.depth_decoder = BaseDepthDecoder(
+                    input_dim=res_dim,
                     classify_buckets=c.d_classify_buckets,
                     upsample_featuremaps=c.d_upsample_featuremaps,
                     target_size=(c.d_target_size, c.d_target_size),
@@ -149,6 +160,7 @@ class OmniGenerator(nn.Module):
                 num_classes=c.s_num_classes,
                 use_dada=c.s_use_dada,
                 target_size=c.s_target_size,
+                backbone=c.backbone,
             )
         if "m" in c.tasks:
             if c.m_use_spade:
@@ -158,16 +170,20 @@ class OmniGenerator(nn.Module):
                     num_layers=c.m_spade_num_layers,
                     use_proj=c.m_use_proj,
                     proj_dim=c.m_proj_dim,
+                    input_dims=(res_dim, low_dim),
                 )
             else:
                 self.mask_decoder = MaskBaseDecoder(
+                    input_dim=res_dim,
                     n_upsample=c.m_n_upsample,
                     n_res=c.m_n_res,
                     proj_dim=c.m_proj_dim,
                     norm=c.m_norm,
                     activ=c.m_activ,
                     pad_type=c.m_pad_type,
-                    low_level_feats_dim=256 if c.m_use_low_level_feats else -1,
+                    low_level_feats_dim=(
+                        low_dim if c.m_use_low_level_feats else -1
+                    ),
                     use_dada=c.m_use_dada,
                 )
         if "p" in c.tasks:

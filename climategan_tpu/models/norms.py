@@ -147,13 +147,14 @@ class SNConv(nn.Module):
     padding: Tuple[int, int] = (0, 0)  # symmetric zero padding
     use_bias: bool = True
     spectral: bool = False
+    groups: int = 1
     power_iterations: int = 1
     kernel_init: Callable = nn.initializers.lecun_normal()
 
     @nn.compact
     def __call__(self, x: jax.Array, update_sn: bool = False) -> jax.Array:
         kh, kw = self.kernel_size
-        ci = x.shape[-1]
+        ci = x.shape[-1] // self.groups
         kernel = self.param("kernel", self.kernel_init, (kh, kw, ci, self.features))
 
         if self.spectral:
@@ -185,6 +186,7 @@ class SNConv(nn.Module):
                      (self.padding[1], self.padding[1])],
             rhs_dilation=self.dilation,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.groups,
             preferred_element_type=x.dtype,
         )
         if self.use_bias:

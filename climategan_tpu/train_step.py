@@ -92,6 +92,12 @@ class TrainConfig:
     m_spade_detach: bool = False
     use_pl4m: bool = False
     p_loss: str = "gan"  # gan | hinge
+    p_diff_aug_use: bool = False
+    p_diff_aug_color: bool = False
+    p_diff_aug_cutout: bool = False
+    p_diff_aug_translation: bool = False
+    p_diff_aug_cutout_ratio: float = 0.5
+    p_diff_aug_translation_ratio: float = 0.125
     soft_shift: float = 0.2
     flip_prob: float = 0.05
     m_gan_type: str = "WGAN_norm"
@@ -138,6 +144,20 @@ class TrainConfig:
             m_spade_detach=bool(opts.gen.m.spade.get("detach", False)),
             use_pl4m=bool(opts.gen.m.get("use_pl4m", False)),
             p_loss=opts.gen.p.get("loss", "gan"),
+            p_diff_aug_use=bool(opts.gen.p.diff_aug.get("use", False)),
+            p_diff_aug_color=bool(
+                opts.gen.p.diff_aug.get("do_color_jittering", False)
+            ),
+            p_diff_aug_cutout=bool(opts.gen.p.diff_aug.get("do_cutout", False)),
+            p_diff_aug_translation=bool(
+                opts.gen.p.diff_aug.get("do_translation", False)
+            ),
+            p_diff_aug_cutout_ratio=float(
+                opts.gen.p.diff_aug.get("cutout_ratio", 0.5)
+            ),
+            p_diff_aug_translation_ratio=float(
+                opts.gen.p.diff_aug.get("translation_ratio", 0.125)
+            ),
             soft_shift=float(opts.dis.get("soft_shift", 0.2)),
             flip_prob=float(opts.dis.get("flip_prob", 0.05)),
             m_gan_type=opts.dis.m.get("gan_type", "WGAN_norm"),
@@ -364,6 +384,22 @@ class StepBuilder:
 
         return total, metrics, gs1
 
+    def _diff_aug(self, rng, x):
+        """DiffAugment before the painter D (reference trainer.py:1075-1078,
+        1319-1321)."""
+        if not self.cfg.p_diff_aug_use:
+            return x
+        from climategan_tpu.ops.diff_aug import DiffTransforms
+
+        dt = DiffTransforms({
+            "do_color_jittering": self.cfg.p_diff_aug_color,
+            "do_cutout": self.cfg.p_diff_aug_cutout,
+            "do_translation": self.cfg.p_diff_aug_translation,
+            "cutout_ratio": self.cfg.p_diff_aug_cutout_ratio,
+            "translation_ratio": self.cfg.p_diff_aug_translation_ratio,
+        })
+        return dt(rng, x)
+
     def _paint(self, g_vars, x, m, rng):
         return self.G.apply(
             g_vars, m, x,
@@ -437,6 +473,11 @@ class StepBuilder:
             rl = L.reconstruction_loss(fake, x, m) * cfg.lam_p_reconstruction
             total += rl
             metrics["p_reconstruction"] = rl
+
+        if self.cfg.p_diff_aug_use:
+            k1, k2 = jax.random.split(jax.random.fold_in(rng, 7))
+            fake = self._diff_aug(k1, fake)
+            x = self._diff_aug(k2, x)
 
         real_fake = jnp.concatenate(
             [jnp.concatenate([m, x], axis=-1),
@@ -518,6 +559,10 @@ class StepBuilder:
                     x = dbatch["x"].astype(jnp.float32)
                     m = dbatch["m"].astype(jnp.float32)
                     fake = jax.lax.stop_gradient(self._paint(g_vars, x, m, rng))
+                    if self.cfg.p_diff_aug_use:
+                        k1, k2 = jax.random.split(jax.random.fold_in(rng, 7))
+                        fake = self._diff_aug(k1, fake)
+                        x = self._diff_aug(k2, x)
                     real_fake = jnp.concatenate(
                         [jnp.concatenate([m, x], axis=-1),
                          jnp.concatenate([m, fake], axis=-1)], axis=0

@@ -69,7 +69,15 @@ class Trainer:
         sample = self._sample_batch()
         self.state = self.builder.init_state(rng, sample)
 
-        self.mesh = make_mesh()
+        # mesh size: largest device count that divides the per-step batch
+        n_dev = len(jax.devices())
+        bs = int(self.opts.data.loaders.get("batch_size", 4))
+        n_mesh = 1
+        for n in range(min(n_dev, bs), 0, -1):
+            if bs % n == 0:
+                n_mesh = n
+                break
+        self.mesh = make_mesh(n_mesh)
         self.state = replicate(self.mesh, self.state)
         self._train_step = jax.jit(self.builder.train_step,
                                    donate_argnums=(0,))
