@@ -23,6 +23,10 @@ import time
 import jax
 import jax.numpy as jnp
 
+# persistent compile cache (first compile of the fused graph is slow)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 REF_V100_IMGS_PER_SEC = 12.0  # documented estimate, see module docstring
 
 

@@ -227,6 +227,57 @@ class BucketizeDepth:
         return out
 
 
+class PrepareInference:
+    """Path/array -> model-ready (1,H,W,3) in [-1,1]
+    (reference transforms.py:292-360): resize keeping aspect ratio so the
+    smallest side == target, center-crop target^2, scale to [-1,1]."""
+
+    def __init__(self, target_size: int = 640, half: bool = False):
+        self.target_size = target_size
+        self.half = half
+
+    def __call__(self, x):
+        import numpy as np
+
+        if isinstance(x, (str,)) or hasattr(x, "__fspath__"):
+            import cv2
+
+            arr = cv2.imread(str(x), cv2.IMREAD_COLOR)[..., ::-1]
+        else:
+            arr = np.asarray(x)
+        if arr.ndim == 3 and arr.shape[-1] == 4:
+            arr = arr[..., :3]
+        arr = arr.astype(np.float32)
+        if arr.max() > 1.5:
+            arr = arr / 255.0
+
+        h, w = arr.shape[:2]
+        t = self.target_size
+        if h < w:
+            nh, nw = t, int(round(w * t / h))
+        else:
+            nh, nw = int(round(h * t / w)), t
+        arr = np_resize(arr[None], (nh, nw), "bilinear", False)[0]
+        top, left = (nh - t) // 2, (nw - t) // 2
+        arr = arr[top: top + t, left: left + t]
+        arr = arr * 2.0 - 1.0
+        out = arr[None]
+        if self.half:
+            out = out.astype(np.float16)
+        return out
+
+
+class PrepareTest(PrepareInference):
+    """Batch variant (reference transforms.py:363-421)."""
+
+    def __call__(self, xs):
+        import numpy as np
+
+        return np.concatenate(
+            [PrepareInference.__call__(self, x) for x in xs], axis=0
+        )
+
+
 def get_transforms(opts, mode: str, domain: str, rng=None):
     """Build the transform pipeline from opts.data.transforms
     (reference transforms.py:424-490)."""

@@ -302,6 +302,28 @@ def convert_mask_base_decoder(vt, sd, torch_prefix="decoders.m",
     )
 
 
+def convert_mask_spade_decoder(vt, sd, torch_prefix="decoders.m",
+                               flax_prefix=("mask_decoder",),
+                               num_layers=3, use_proj=True,
+                               param_free_norm="batch"):
+    """Reference MaskSpadeDecoder (masker.py:59-231)."""
+    assign_conv2dblock(vt, flax_prefix + ("low_level_conv",), sd,
+                       f"{torch_prefix}.low_level_conv", norm="batch")
+    if use_proj:
+        assign_conv2dblock(vt, flax_prefix + ("high_level_conv",), sd,
+                           f"{torch_prefix}.high_level_conv", norm="batch")
+    assign_conv2dblock(vt, flax_prefix + ("merge_feats_conv",), sd,
+                       f"{torch_prefix}.merge_feats_conv", norm="batch")
+    for i in range(num_layers):
+        assign_spade_resblock(
+            vt, flax_prefix + (f"spade_block{i}",), sd,
+            f"{torch_prefix}.spade_blocks.{i}", learned_shortcut=True,
+            param_free_norm=param_free_norm,
+        )
+    assign_conv2dblock(vt, flax_prefix + ("mask_conv",), sd,
+                       f"{torch_prefix}.mask_conv", norm="none")
+
+
 def convert_painter(vt, sd, torch_prefix="painter",
                     flax_prefix=("painter",), latent_dim=640, spade_n_up=7,
                     param_free_norm="instance"):
@@ -352,6 +374,11 @@ def convert_generator(variables: Dict, state_dict: Dict, cfg) -> Dict:
         convert_mask_base_decoder(
             vt, sd, n_res=cfg.m_n_res, n_upsample=cfg.m_n_upsample,
             norm=cfg.m_norm, has_low_level=cfg.m_use_low_level_feats,
+        )
+    if "m" in cfg.tasks and cfg.m_use_spade:
+        convert_mask_spade_decoder(
+            vt, sd, num_layers=cfg.m_spade_num_layers,
+            use_proj=cfg.m_use_proj,
         )
     if "p" in cfg.tasks:
         convert_painter(vt, sd, latent_dim=cfg.p_latent_dim,
