@@ -55,6 +55,15 @@ def divide_pred(pred):
     return pred[: pred.shape[0] // 2], pred[pred.shape[0] // 2:]
 
 
+def _wgan_gp(disc_fn, x: Array) -> Array:
+    """WGAN gradient penalty ((||grad||_2 - 1)^2 per sample, meaned)
+    (reference tutils.py:487-501 get_WGAN_gradient)."""
+    g = jax.grad(lambda v: jnp.sum(disc_fn(v)))(x)
+    n = g.shape[0]
+    norms = jnp.sqrt(jnp.sum(g.reshape(n, -1) ** 2, axis=1) + 1e-12)
+    return jnp.mean((norms - 1.0) ** 2)
+
+
 @dataclasses.dataclass(frozen=True)
 class TrainConfig:
     """Static training hyperparameters (opts.train.lambdas et al.)."""
@@ -103,6 +112,10 @@ class TrainConfig:
     m_gan_type: str = "WGAN_norm"
     s_gan_type: str = "WGAN_norm"
     use_vgg: bool = True
+    pseudo_tasks: Tuple[str, ...] = ()
+    lam_s_crossent_pseudo: float = 0.001
+    wgan_gp_lambda: float = 10.0
+    wgan_clamp: Tuple[float, float] = (-0.01, 0.01)
     # domain labels (reference trainer.py:107)
     label_s: float = 0.0
     label_r: float = 1.0
@@ -163,6 +176,14 @@ class TrainConfig:
             m_gan_type=opts.dis.m.get("gan_type", "WGAN_norm"),
             s_gan_type=opts.dis.s.get("gan_type", "WGAN_norm"),
             use_vgg=float(lam.G.p.vgg) != 0,
+            pseudo_tasks=tuple(opts.train.get("pseudo", {}).get("tasks", [])
+                               or []),
+            lam_s_crossent_pseudo=float(lam.G.s.get("crossent_pseudo", 0.001)),
+            wgan_gp_lambda=float(lam.advent.get("WGAN_gp", 10.0)),
+            wgan_clamp=(
+                float(opts.dis.m.get("wgan_clamp_lower", -0.01)),
+                float(opts.dis.m.get("wgan_clamp_upper", 0.01)),
+            ),
         )
 
 
@@ -260,9 +281,11 @@ class StepBuilder:
                 "depth", z, train=train_flag, update_sn=train_flag and mutable
             )
 
-        # ---- depth loss (sim only; reference masker_d_loss :1389-1407)
+        # ---- depth loss (sim only unless pseudo-labels are enabled;
+        # reference masker_d_loss :1389-1407)
         if for_ == "G" and "d" in batch and "d" in cfg.tasks:
-            if domain == "s" and cfg.lam_d_main != 0:
+            if ((domain == "s" or "d" in cfg.pseudo_tasks)
+                    and cfg.lam_d_main != 0):
                 dl = L.sigm_loss(
                     d_pred.astype(jnp.float32),
                     batch["d"].astype(jnp.float32),
@@ -276,12 +299,15 @@ class StepBuilder:
             s_pred, _ = gapply("segmentation", z, z_depth, train=train_flag)
             softmax_s = jax.nn.softmax(s_pred.astype(jnp.float32), axis=-1)
             if for_ == "G":
-                if domain == "s" and "s" in batch and cfg.lam_s_crossent != 0:
-                    sl = L.cross_entropy(
-                        s_pred.astype(jnp.float32), batch["s"]
-                    ) * cfg.lam_s_crossent
-                    total += sl
-                    metrics["s_crossent"] = sl
+                if "s" in batch and (domain == "s" or "s" in cfg.pseudo_tasks):
+                    w = (cfg.lam_s_crossent if domain == "s"
+                         else cfg.lam_s_crossent_pseudo)
+                    if w != 0:
+                        sl = L.cross_entropy(
+                            s_pred.astype(jnp.float32), batch["s"]
+                        ) * w
+                        total += sl
+                        metrics[f"s_crossent_{domain}"] = sl
                 if domain == "r" and cfg.s_use_minent and cfg.lam_s_minent != 0:
                     ml = L.minent_loss(softmax_s) * cfg.lam_s_minent
                     total += ml
@@ -306,6 +332,11 @@ class StepBuilder:
                     ) * weight
                     total += al
                     metrics[f"s_advent_{for_}_{domain}"] = al
+                    if for_ == "D" and cfg.s_gan_type == "WGAN_gp":
+                        gp = _wgan_gp(disc_fn, jax.lax.stop_gradient(
+                            s_pred.astype(jnp.float32)))
+                        total += gp * cfg.wgan_gp_lambda
+                        metrics[f"s_gp_{domain}"] = gp
 
         # ---- mask losses (reference masker_m_loss :1506-1616)
         if "m" in cfg.tasks and ("m" in batch or for_ == "D"):
@@ -381,6 +412,10 @@ class StepBuilder:
                     ) * weight
                     total += al
                     metrics[f"m_advent_{for_}_{domain}"] = al
+                    if for_ == "D" and cfg.m_gan_type == "WGAN_gp":
+                        gp = _wgan_gp(disc_fn, jax.lax.stop_gradient(prob))
+                        total += gp * cfg.wgan_gp_lambda
+                        metrics[f"m_gp_{domain}"] = gp
 
         return total, metrics, gs1
 
@@ -593,6 +628,16 @@ class StepBuilder:
             grads, state.d_opt, state.d_params,
             lr=self.d_lr * lr_scale, extrapolate=extrapolate, b1=self.d_b1,
         )
+        if self.cfg.m_gan_type == "WGAN" or self.cfg.s_gan_type == "WGAN":
+            # WGAN weight clipping on the ADVENT discriminators
+            # (reference trainer.py:1489-1494, 1598-1603)
+            from climategan_tpu.optim import clamp_params
+
+            lo, hi = self.cfg.wgan_clamp
+            new_params = dict(new_params)
+            for name in ("m_advent", "s_advent"):
+                if name in new_params:
+                    new_params[name] = clamp_params(new_params[name], lo, hi)
         return state._replace(
             d_params=new_params, d_opt=new_opt, rng=new_rng,
             step=state.step + 1,

@@ -165,8 +165,105 @@ class Trainer:
                 )
             n += 1
         metrics = {k: v / max(n, 1) for k, v in metrics.items()}
+
+        if (self.opts.train.fid.get("enable", False)
+                and "p" in self.opts.tasks):
+            metrics["val/fid"] = self.compute_val_fid()
+
+        self._log_eval_panels()
         self.logger.log_metrics(metrics)
         return metrics
+
+    def _log_eval_panels(self, n: int = 2):
+        """Masker/painter image panels like the reference's comet grids
+        (logger.py:28-219,296-339): [x | d | s | m | painted]."""
+        try:
+            g_vars = {"params": self.state.g_params, **self.state.g_state}
+            loader = (self.loaders["val"].get("r")
+                      or next(iter(self.loaders["val"].values()), None))
+            if loader is None:
+                return
+            item = next(iter(loader))
+            x = jnp.asarray(item["data"]["x"][:n])
+            d, s, m = self.G.apply(g_vars, x, method="infer_masker")
+            panels = [np.asarray((x + 1) / 2)]
+            from climategan_tpu.ops.interpolate import resize as jresize
+
+            hw = (x.shape[1], x.shape[2])
+            dn = np.asarray(jresize(
+                (d - d.min()) / (d.max() - d.min() + 1e-9), hw, "bilinear"))
+            panels.append(np.repeat(dn, 3, axis=-1))
+            seg = np.asarray(jnp.argmax(
+                jresize(s, hw, "bilinear", align_corners=True), axis=-1
+            )) / max(s.shape[-1] - 1, 1)
+            panels.append(np.repeat(seg[..., None], 3, axis=-1))
+            panels.append(np.repeat(np.asarray(m), 3, axis=-1))
+            if "p" in self.opts.tasks:
+                painted = self.G.apply(g_vars, m, x, method="paint")
+                panels.append(np.asarray((painted + 1) / 2))
+            grid = np.concatenate(panels, axis=2)  # side by side
+            self.logger.log_images("val_panel", grid,
+                                   step=self.global_step)
+        except Exception as e:  # panels must never kill training
+            self.logger.print(f"eval panels failed: {e}")
+
+    def compute_val_fid(self, max_images: Optional[int] = None) -> float:
+        """Painter FID on val rf images (reference fid.py:334-434): real
+        stats from the val set, fakes = paint(m, x)."""
+        from climategan_tpu.fid import FIDEvaluator
+
+        rf = self.loaders["val"].get("rf")
+        if rf is None or "p" not in self.opts.tasks:
+            return float("nan")
+        n_images = max_images or int(self.opts.train.fid.get("n_images", 57))
+        xs, ms = [], []
+        for item in rf:
+            xs.append(item["data"]["x"])
+            ms.append(item["data"]["m"])
+            if sum(x.shape[0] for x in xs) >= n_images:
+                break
+        if not xs:
+            return float("nan")
+        x = jnp.concatenate(xs)[:n_images]
+        m = jnp.concatenate(ms)[:n_images]
+        g_vars = {"params": self.state.g_params, **self.state.g_state}
+        fake = self.G.apply(g_vars, m, x, method="paint")
+        ev = FIDEvaluator(
+            batch_size=int(self.opts.train.fid.get("batch_size", 50))
+        )
+        ev.set_real(x)
+        return ev.fid(fake)
+
+    def paint_and_mask(self, image_batch, mask_batch=None,
+                       resolution: str = "approx"):
+        """Paint a batch, inferring masks when absent
+        (reference trainer.py:137-208). Resolution modes: approx (round
+        down to the painter's 2^spade_n_up multiple), exact (approx then
+        resize back), basic (train-time 640), upsample (basic then resize
+        back)."""
+        from climategan_tpu.ops.interpolate import resize as jresize
+
+        assert resolution in {"approx", "exact", "basic", "upsample"}
+        x = jnp.asarray(image_batch)
+        g_vars = {"params": self.state.g_params, **self.state.g_state}
+        orig_hw = (x.shape[1], x.shape[2])
+        mult = 2 ** self.G.cfg.p_spade_n_up
+
+        if resolution in ("basic", "upsample"):
+            work_hw = (640, 640)
+        else:
+            work_hw = (max(mult, x.shape[1] // mult * mult),
+                       max(mult, x.shape[2] // mult * mult))
+
+        xw = jresize(x, work_hw, "bilinear")
+        if mask_batch is None:
+            m = self.G.apply(g_vars, xw, method="mask")
+        else:
+            m = jresize(jnp.asarray(mask_batch), work_hw, "nearest")
+        painted = self.G.apply(g_vars, m, xw, method="paint")
+        if resolution in ("exact", "upsample"):
+            painted = jresize(painted, orig_hw, "bilinear")
+        return painted
 
     # ------------------------------------------------------------------
     def save(self):
