@@ -32,7 +32,9 @@ REF_V100_IMGS_PER_SEC = 12.0  # documented estimate, see module docstring
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--stage", choices=["all", "masker", "painter"],
+                    default="all", help="isolate a pipeline stage")
     ap.add_argument("--iters", type=int, default=12)
     ap.add_argument("--warmup", type=int, default=2)
     ap.add_argument("--size", type=int, default=640)
@@ -50,6 +52,17 @@ def main():
 
     G, infer = build_infer_fn(opts, dtype=dtype, ignore_event=ignore,
                               donate=False)
+    if args.stage == "masker":
+        infer = jax.jit(lambda v, x, r: {
+            "mask": G.apply(v, x.astype(dtype), method="infer_masker")[2]
+        })
+    elif args.stage == "painter":
+        infer = jax.jit(lambda v, x, r: {
+            "paint": G.apply(
+                v, (x[..., :1] > 0).astype(dtype), x.astype(dtype),
+                method="paint",
+            )
+        })
     rng = jax.random.PRNGKey(0)
     print("initializing params...", file=sys.stderr)
     x0 = jnp.zeros((1, args.size, args.size, 3), jnp.float32)

@@ -32,6 +32,8 @@ class GenConfig:
 
     tasks: Tuple[str, ...] = ("d", "s", "m", "p")
     # encoder
+    encoder_arch: str = "deeplabv3"  # deeplabv3 | deeplabv2
+    s_architecture: str = "deeplabv3"
     backbone: str = "resnet"  # resnet | mobilenet
     output_stride: int = 8
     encoder_layers: Tuple[int, ...] = (3, 4, 23, 3)
@@ -80,6 +82,8 @@ class GenConfig:
         s_size = int(sizes.get("s", sizes.get("default", 640)))
         return cls(
             tasks=tuple(opts.tasks),
+            encoder_arch=g.encoder.get("architecture", "deeplabv3"),
+            s_architecture=g.s.get("architecture", "deeplabv3"),
             backbone=g.deeplabv3.get("backbone", "resnet"),
             output_stride=int(g.deeplabv3.get("output_stride", 8)),
             encoder_layers=tuple(
@@ -132,7 +136,11 @@ class OmniGenerator(nn.Module):
         res_dim = 320 if c.backbone == "mobilenet" else 2048
         low_dim = 24 if c.backbone == "mobilenet" else 256
         if any(t in c.tasks for t in "msd"):
-            if c.backbone == "mobilenet":
+            if c.encoder_arch == "deeplabv2":
+                from climategan_tpu.models.deeplab_v2 import ResNetMultiV2
+
+                self.encoder = ResNetMultiV2(layers=c.encoder_layers)
+            elif c.backbone == "mobilenet":
                 from climategan_tpu.models.mobilenet import MobileNetV2Encoder
 
                 self.encoder = MobileNetV2Encoder()
@@ -156,12 +164,21 @@ class OmniGenerator(nn.Module):
                     target_size=(c.d_target_size, c.d_target_size),
                 )
         if "s" in c.tasks:
-            self.seg_decoder = DeepLabV3Decoder(
-                num_classes=c.s_num_classes,
-                use_dada=c.s_use_dada,
-                target_size=c.s_target_size,
-                backbone=c.backbone,
-            )
+            if c.s_architecture == "deeplabv2" or c.encoder_arch == "deeplabv2":
+                from climategan_tpu.models.deeplab_v2 import DeepLabV2Decoder
+
+                self.seg_decoder = DeepLabV2Decoder(
+                    num_classes=c.s_num_classes,
+                    use_dada=c.s_use_dada,
+                    target_size=c.s_target_size,
+                )
+            else:
+                self.seg_decoder = DeepLabV3Decoder(
+                    num_classes=c.s_num_classes,
+                    use_dada=c.s_use_dada,
+                    target_size=c.s_target_size,
+                    backbone=c.backbone,
+                )
         if "m" in c.tasks:
             if c.m_use_spade:
                 self.mask_decoder = MaskSpadeDecoder(

@@ -260,14 +260,16 @@ class StepBuilder:
         metrics = {}
 
         def gapply(method, *args, **kw):
+            rngs = {"dropout": rng} if for_ == "G" else None
             if mutable:
                 out, new_state = G.apply(
                     g_vars, *args, method=method,
                     mutable=["batch_stats", "spectral"],
+                    rngs=rngs,
                     **kw,
                 )
                 return out, new_state
-            return G.apply(g_vars, *args, method=method, **kw), None
+            return G.apply(g_vars, *args, method=method, rngs=rngs, **kw), None
 
         train_flag = for_ == "G"
         # one shared encoder forward for all heads

@@ -85,3 +85,17 @@ def test_scenario_builds_and_forwards(scenario):
         assert np.isfinite(np.asarray(out["d"])).all()
     if "s" in tasks:
         assert out["s"].shape[-1] == opts.gen.s.output_dim
+
+
+def test_deeplabv2_scenario():
+    """v2 encoder + v2 seg decoder (reference deeplab_v2/resnetmulti_v2)."""
+    opts = tiny_opts(image_size=64)
+    opts.gen.encoder.architecture = "deeplabv2"
+    opts.gen.s.architecture = "deeplabv2"
+    G = create_generator(opts)
+    x = jnp.ones((1, 64, 64, 3))
+    variables = G.init(jax.random.PRNGKey(0), x)
+    out = G.apply(variables, x)
+    assert out["m"].shape == (1, 64, 64, 1)
+    assert out["s"].shape[-1] == 11
+    assert np.isfinite(np.asarray(out["p"])).all()
