@@ -15,7 +15,7 @@ import copy
 import os
 import re
 from pathlib import Path
-from typing import Any, Mapping
+from typing import Any, Mapping, Optional
 
 import yaml
 
@@ -214,6 +214,33 @@ def flatten_opts(opts: Mapping, prefix: str = "") -> dict:
         else:
             out[key] = v
     return out
+
+
+def find_existing_training(opts, job_id: Optional[str] = None):
+    """Auto-resume support (reference utils.py:741-805 + train.py:87-100):
+    look for sibling output dirs whose job_id file matches the current job
+    (env CLIMATEGAN_JOB_ID / SLURM_JOBID) and return the newest one."""
+    job_id = job_id or os.environ.get("CLIMATEGAN_JOB_ID") \
+        or os.environ.get("SLURM_JOBID")
+    if not job_id:
+        return None
+    base = Path(env_expand(opts.output_path)).resolve()
+    candidates = []
+    for d in base.parent.glob(base.name + "*"):
+        jid = d / "job_id.txt"
+        if jid.exists() and jid.read_text().strip() == str(job_id):
+            candidates.append(d)
+    if not candidates:
+        return None
+    return max(candidates, key=lambda d: d.stat().st_mtime)
+
+
+def write_job_id(output_path, job_id: Optional[str] = None):
+    job_id = job_id or os.environ.get("CLIMATEGAN_JOB_ID") \
+        or os.environ.get("SLURM_JOBID")
+    if job_id:
+        Path(output_path).mkdir(parents=True, exist_ok=True)
+        (Path(output_path) / "job_id.txt").write_text(str(job_id))
 
 
 def get_increased_path(path) -> Path:

@@ -31,10 +31,22 @@ def main(argv):
     opts = load_opts(path=cfg_path, commandline_opts=overrides)
 
     out = Path(str(opts.output_path))
+    if opts.train.get("auto_resume") and not (opts.train.get("resume") or resume):
+        from climategan_tpu.utils.opts import find_existing_training
+
+        existing = find_existing_training(opts)
+        if existing is not None:
+            print(f"auto-resume: found matching run {existing}")
+            opts.output_path = str(existing)
+            resume = True
+            out = existing
     if not (opts.train.get("resume") or resume):
         out = get_increased_path(out)
         opts.output_path = str(out)
     out.mkdir(parents=True, exist_ok=True)
+    from climategan_tpu.utils.opts import write_job_id
+
+    write_job_id(out)
     print(f"output_path: {out}")
 
     comet_exp = None
