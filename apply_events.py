@@ -42,7 +42,9 @@ def parse_args():
                    help="Print the per-stage timing report")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--fuse", action="store_true",
-                   help="(compat flag: BN folding is automatic under XLA)")
+                   help="bake spectral-norm sigmas into kernels and skip "
+                        "power iterations (BN folding is automatic under "
+                        "XLA either way)")
     return p.parse_args()
 
 
@@ -133,6 +135,7 @@ def main():
             cloudy=not args.no_cloudy,
             ignore_event=tuple(args.ignore_event),
             donate=False,
+            freeze_spectral=args.fuse,
         )
         rng = jax.random.PRNGKey(args.seed)
         if variables is None:
@@ -141,6 +144,10 @@ def main():
             variables = jax.jit(G.init)(
                 rng, jnp.zeros((1, 640, 640, 3), jnp.float32)
             )
+        if args.fuse:
+            from climategan_tpu.utils.bn_fold import bake_spectral_norm
+
+            variables = bake_spectral_norm(variables)
 
     paths = find_images(in_dir)
     if not paths:

@@ -51,7 +51,7 @@ def main():
     ignore = ("wildfire", "smog") if args.events == "flood" else ()
 
     G, infer = build_infer_fn(opts, dtype=dtype, ignore_event=ignore,
-                              donate=False)
+                              donate=False, freeze_spectral=True)
     if args.stage == "masker":
         infer = jax.jit(lambda v, x, r: {
             "mask": G.apply(v, x.astype(dtype), method="infer_masker")[2]
@@ -67,7 +67,9 @@ def main():
     print("initializing params...", file=sys.stderr)
     x0 = jnp.zeros((1, args.size, args.size, 3), jnp.float32)
     variables = jax.jit(G.init)(rng, x0)
-    variables = jax.device_put(variables)
+    from climategan_tpu.utils.bn_fold import bake_spectral_norm
+
+    variables = jax.device_put(bake_spectral_norm(variables))
 
     x = jax.random.uniform(
         rng, (args.batch, args.size, args.size, 3),

@@ -29,6 +29,7 @@ def build_infer_fn(
     ignore_event: Tuple[str, ...] = (),
     quantize: bool = True,
     donate: bool = True,
+    freeze_spectral: bool = False,
 ):
     """Returns (G, infer_fn) where infer_fn(variables, x, rng) is jitted.
 
@@ -40,6 +41,17 @@ def build_infer_fn(
     smog_opts = opts.events.get("smog", {}) or {}
 
     def infer(variables, x, rng):
+        # trace-time switch: with freeze_spectral the caller passes
+        # bake_spectral_norm(variables) and SNConv skips power iterations
+        from contextlib import nullcontext
+
+        from climategan_tpu.models.norms import frozen_spectral
+
+        ctx = frozen_spectral() if freeze_spectral else nullcontext()
+        with ctx:
+            return _infer_body(variables, x, rng)
+
+    def _infer_body(variables, x, rng):
         x = x.astype(dtype)
         d, s, m = G.apply(variables, x, method="infer_masker")
 

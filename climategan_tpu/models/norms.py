@@ -24,6 +24,28 @@ def _l2normalize(v: jax.Array, eps: float = 1e-12) -> jax.Array:
     return v / (jnp.linalg.norm(v) + eps)
 
 
+_SPECTRAL_FROZEN = False
+
+
+class frozen_spectral:
+    """Trace-time switch: inside this context SNConv uses its kernel as-is
+    (no power iteration / sigma divide). Pair with
+    utils.bn_fold.bake_spectral_norm, which divides every spectral kernel by
+    its sigma once — the runtime sigma of a baked kernel is exactly 1, so
+    skipping the computation is a pure-win graph simplification for
+    inference."""
+
+    def __enter__(self):
+        global _SPECTRAL_FROZEN
+        self._prev = _SPECTRAL_FROZEN
+        _SPECTRAL_FROZEN = True
+
+    def __exit__(self, *exc):
+        global _SPECTRAL_FROZEN
+        _SPECTRAL_FROZEN = self._prev
+        return False
+
+
 def spectral_normalize(
     kernel: jax.Array,
     u: jax.Array,
@@ -157,7 +179,7 @@ class SNConv(nn.Module):
         ci = x.shape[-1] // self.groups
         kernel = self.param("kernel", self.kernel_init, (kh, kw, ci, self.features))
 
-        if self.spectral:
+        if self.spectral and not _SPECTRAL_FROZEN:
             fan_in = ci * kh * kw
             u_var = self.variable(
                 "spectral", "u",

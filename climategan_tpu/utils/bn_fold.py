@@ -105,6 +105,35 @@ def reset_stats(stats):
     return jax.tree_util.tree_map_with_path(f, stats)
 
 
+def bake_spectral_norm(variables: Dict) -> Dict:
+    """Divide every spectrally-normalized kernel by its sigma once, so
+    inference can skip the per-call power iteration entirely
+    (models.norms.frozen_spectral). Exact: the division uses the same
+    single-iteration sigma estimate the runtime would compute."""
+    from climategan_tpu.models.norms import spectral_normalize
+
+    params = variables["params"]
+    spectral = variables.get("spectral", {})
+
+    def walk(p: Dict, s: Dict) -> Dict:
+        out = {}
+        for k, v in p.items():
+            sv = s.get(k, {}) if isinstance(s, dict) else {}
+            if (isinstance(v, dict) and "kernel" in v
+                    and isinstance(sv, dict) and "u" in sv and "v" in sv):
+                w, _, _ = spectral_normalize(v["kernel"], sv["u"], sv["v"])
+                out[k] = {**v, "kernel": w}
+            elif isinstance(v, dict):
+                out[k] = walk(v, sv)
+            else:
+                out[k] = v
+        return out
+
+    out = dict(variables)
+    out["params"] = walk(params, spectral)
+    return out
+
+
 def fold_generator_bns(variables: Dict) -> Dict:
     """Fold all Conv2dBlock conv+BN pairs in a variables tree."""
     params = variables["params"]

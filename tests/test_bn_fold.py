@@ -36,3 +36,27 @@ def test_fold_conv_bn_exact():
     got = m.apply(folded, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_baked_spectral_frozen_inference_matches():
+    """bake_spectral_norm + frozen_spectral must reproduce the normal
+    spectral path exactly (sigma of a baked kernel is 1)."""
+    import jax.numpy as jnp
+    from climategan_tpu.inference import build_infer_fn
+    from climategan_tpu.utils.bn_fold import bake_spectral_norm
+    from climategan_tpu.utils.testing import tiny_opts
+
+    opts = tiny_opts(image_size=64)
+    G, infer = build_infer_fn(opts, dtype=jnp.float32, donate=False)
+    _, infer_frozen = build_infer_fn(opts, dtype=jnp.float32, donate=False,
+                                     freeze_spectral=True)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.uniform(rng, (1, 64, 64, 3), minval=-1, maxval=1)
+    variables = G.init(rng, x)
+
+    a = infer(variables, x, rng)
+    b = infer_frozen(bake_spectral_norm(variables), x, rng)
+    for k in ("flood", "wildfire", "smog"):
+        np.testing.assert_allclose(np.asarray(a[k]).astype(np.int32),
+                                   np.asarray(b[k]).astype(np.int32),
+                                   atol=1)
