@@ -216,10 +216,37 @@ class StepBuilder:
         self.G = create_generator(opts)
         self.D = create_discriminator(opts)
         self.vgg_variables = vgg_variables
-        self.g_lr = float(opts.gen.opt.lr.get("default", 5e-5))
-        self.d_lr = float(opts.dis.opt.lr.get("default", 2e-5))
+        g_lr_conf = opts.gen.opt.lr
+        d_lr_conf = opts.dis.opt.lr
+        self.g_lr = float(g_lr_conf.get("default", 5e-5)) \
+            if isinstance(g_lr_conf, dict) else float(g_lr_conf)
+        self.d_lr = float(d_lr_conf.get("default", 2e-5)) \
+            if isinstance(d_lr_conf, dict) else float(d_lr_conf)
         self.g_b1 = float(opts.gen.opt.get("beta1", 0.9))
         self.d_b1 = float(opts.dis.opt.get("beta1", 0.5))
+        # per-task LR groups (reference optim.py:54-123): map param-path
+        # prefixes to lr multipliers relative to the default lr
+        self.g_lr_rules = {}
+        if isinstance(g_lr_conf, dict) and len(g_lr_conf) > 1:
+            task_prefix = {
+                "m": "encoder", "d": "depth_decoder", "s": "seg_decoder",
+                "p": "painter",
+            }
+            extra = {"m": "mask_decoder"}
+            for task, prefix in task_prefix.items():
+                if task in g_lr_conf:
+                    scale = float(g_lr_conf[task]) / self.g_lr
+                    self.g_lr_rules[prefix] = scale
+                    if task in extra:
+                        self.g_lr_rules[extra[task]] = scale
+        self.d_lr_rules = {}
+        if isinstance(d_lr_conf, dict) and len(d_lr_conf) > 1:
+            for task, prefix in (("p", "p"), ("m", "m_advent"),
+                                 ("s", "s_advent")):
+                if task in d_lr_conf:
+                    self.d_lr_rules[prefix] = float(d_lr_conf[task]) / self.d_lr
+        self._g_lr_scales = None
+        self._d_lr_scales = None
 
     # ------------------------------------------------------------------
     def init_state(self, rng, batch, d_image_size: int = 640) -> TrainState:
@@ -252,7 +279,7 @@ class StepBuilder:
     # loss pieces (mirror reference masker_*_loss / painter losses)
     # ------------------------------------------------------------------
     def _masker_losses(self, g_vars, d_vars, batch, domain, for_, rng,
-                       mutable):
+                       mutable, eval_mode: bool = False):
         """Masker losses for one domain batch. Returns (loss, aux, new_gstate)."""
         cfg = self.cfg
         G, D = self.G, self.D
@@ -271,7 +298,7 @@ class StepBuilder:
                 return out, new_state
             return G.apply(g_vars, *args, method=method, rngs=rngs, **kw), None
 
-        train_flag = for_ == "G"
+        train_flag = for_ == "G" and not eval_mode
         # one shared encoder forward for all heads
         z, gs1 = gapply("encode", x, train=train_flag)
 
@@ -572,10 +599,16 @@ class StepBuilder:
             loss_fn, has_aux=True
         )(state.g_params)
 
+        if self.g_lr_rules and self._g_lr_scales is None:
+            from climategan_tpu.optim import build_lr_scales
+
+            self._g_lr_scales = build_lr_scales(state.g_params,
+                                                self.g_lr_rules)
         extrapolate = (state.step % 2) == 0
         new_params, new_opt = extra_adam_step(
             grads, state.g_opt, state.g_params,
             lr=self.g_lr * lr_scale, extrapolate=extrapolate, b1=self.g_b1,
+            lr_scales=self._g_lr_scales,
         )
         return state._replace(
             g_params=new_params, g_state=new_gstate, g_opt=new_opt, rng=new_rng,
@@ -625,10 +658,16 @@ class StepBuilder:
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.d_params
         )
+        if self.d_lr_rules and self._d_lr_scales is None:
+            from climategan_tpu.optim import build_lr_scales
+
+            self._d_lr_scales = build_lr_scales(state.d_params,
+                                                self.d_lr_rules)
         extrapolate = (state.step % 2) == 0
         new_params, new_opt = extra_adam_step(
             grads, state.d_opt, state.d_params,
             lr=self.d_lr * lr_scale, extrapolate=extrapolate, b1=self.d_b1,
+            lr_scales=self._d_lr_scales,
         )
         if self.cfg.m_gan_type == "WGAN" or self.cfg.s_gan_type == "WGAN":
             # WGAN weight clipping on the ADVENT discriminators
@@ -651,3 +690,27 @@ class StepBuilder:
         state, g_metrics = self.g_step(state, batch, g_lr_scale)
         state, d_metrics = self.d_step(state, batch, d_lr_scale)
         return state, {**g_metrics, **d_metrics}
+
+    def eval_losses(self, state: TrainState,
+                    batch: Dict[str, Dict[str, Array]]) -> Dict[str, Array]:
+        """Validation G losses, eval-mode (reference run_evaluation
+        :1653-1704 reuses get_G_loss over val loaders)."""
+        rng = jax.random.PRNGKey(0)  # deterministic eval randomness
+        g_vars = _merge_vars(state.g_params, state.g_state)
+        d_vars = _merge_vars(state.d_params, state.d_state)
+        metrics: Dict[str, Array] = {}
+        total = 0.0
+        for domain in ("r", "s"):
+            if domain in batch and any(t in self.cfg.tasks for t in "msd"):
+                dl, dm, _ = self._masker_losses(
+                    g_vars, d_vars, batch[domain], domain, "G", rng,
+                    mutable=False, eval_mode=True,
+                )
+                total += dl
+                metrics.update({f"val_{k}": v for k, v in dm.items()})
+        if "p" in self.cfg.tasks and "rf" in batch:
+            pl, pm = self._painter_losses(g_vars, d_vars, batch["rf"], rng)
+            total += pl
+            metrics.update({f"val_{k}": v for k, v in pm.items()})
+        metrics["val_g_total"] = total
+        return metrics

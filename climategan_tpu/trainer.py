@@ -108,11 +108,24 @@ class Trainer:
     def train(self):
         assert self.is_setup
         epochs = int(self.opts.train.get("epochs", 1))
+        kitti_epochs = 0
+        if (self.opts.train.kitti.get("pretrain")
+                and "kitti" in self.loaders.get("train", {})):
+            kitti_epochs = int(self.opts.train.kitti.get("epochs", 10))
         for epoch in range(self.current_epoch, epochs):
             self.current_epoch = epoch
+            self.kitti_pretrain = epoch < kitti_epochs
             self.run_epoch()
             self.run_evaluation()
             self.save()
+
+    def _epoch_loaders(self):
+        """Training loaders for this epoch; kitti pretraining swaps the sim
+        stream for kitti (reference switch_data, trainer.py:817-846)."""
+        train = self.loaders["train"]
+        if getattr(self, "kitti_pretrain", False):
+            return {"kitti": train["kitti"]}
+        return {k: v for k, v in train.items() if k != "kitti"}
 
     def run_epoch(self):
         epoch = self.current_epoch
@@ -120,7 +133,7 @@ class Trainer:
         d_scale = self.d_sched(epoch)
         t0 = time.time()
         n_steps = 0
-        for tup in zip(*self.loaders["train"].values()):
+        for tup in zip(*self._epoch_loaders().values()):
             batch = {item["domain"]: item["data"] for item in tup}
             batch = shard_batch(self.mesh, batch)
             self.state, metrics = self._train_step(
@@ -136,6 +149,57 @@ class Trainer:
     def global_step(self) -> int:
         return int(self.state.step) if self.state is not None else 0
 
+    def load_val_painter(self) -> bool:
+        """Load a frozen validation-only painter (reference
+        generator.py:357-411). Supports torch .pth checkpoints (converted)
+        or an orbax run dir; stored separately and substituted into the
+        generator variables for eval painting/FID."""
+        path = self.opts.val.get("val_painter")
+        if not path:
+            return False
+        try:
+            p = Path(str(path)).expanduser().resolve()
+            if p.suffix in (".pth", ".pt"):
+                from climategan_tpu.utils.convert import (
+                    VariableTree,
+                    convert_painter,
+                    load_torch_state_dict,
+                )
+
+                sd = load_torch_state_dict(str(p))
+                sd = {k.replace("painter.", "painter."): v
+                      for k, v in sd.items()}
+                g_vars = {"params": self.state.g_params,
+                          **self.state.g_state}
+                vt = VariableTree(g_vars)
+                convert_painter(vt, sd,
+                                latent_dim=self.G.cfg.p_latent_dim,
+                                spade_n_up=self.G.cfg.p_spade_n_up,
+                                param_free_norm=self.G.cfg.p_spade_param_free_norm)
+                converted = vt.result()
+                self.val_painter_params = converted["params"]["painter"]
+            else:
+                from climategan_tpu.utils.checkpoint import (
+                    load_generator_variables,
+                )
+
+                v = load_generator_variables(p / "checkpoints", None)
+                if v is None:
+                    return False
+                self.val_painter_params = v["params"]["painter"]
+            self.logger.print("loaded validation-only painter")
+            return True
+        except Exception as e:
+            self.logger.print(f"load_val_painter failed: {e}")
+            return False
+
+    def _eval_g_vars(self):
+        g_params = self.state.g_params
+        if getattr(self, "val_painter_params", None) is not None:
+            g_params = dict(g_params)
+            g_params["painter"] = self.val_painter_params
+        return {"params": g_params, **self.state.g_state}
+
     # ------------------------------------------------------------------
     def run_evaluation(self):
         if self.loaders is None or not self.loaders.get("val"):
@@ -143,8 +207,22 @@ class Trainer:
         from climategan_tpu.eval_metrics import accuracy, mIOU
 
         metrics: Dict[str, float] = {}
-        g_vars = {"params": self.state.g_params, **self.state.g_state}
+        g_vars = self._eval_g_vars()
         n = 0
+
+        # validation losses (reference reuses get_G_loss over val loaders)
+        if self.builder is not None:
+            try:
+                val_batch = {
+                    item["domain"]: item["data"]
+                    for item in [next(iter(ld))
+                                 for ld in self.loaders["val"].values()]
+                }
+                losses = self.builder.eval_losses(self.state, val_batch)
+                metrics.update({k: float(np.asarray(v))
+                                for k, v in losses.items()})
+            except Exception as e:
+                self.logger.print(f"val losses failed: {e}")
         for tup in zip(*self.loaders["val"].values()):
             for item in tup:
                 domain, data = item["domain"], item["data"]
