@@ -35,10 +35,16 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--stage", choices=["all", "masker", "painter"],
                     default="all", help="isolate a pipeline stage")
+    ap.add_argument("--config", type=int, default=0,
+                    help="BASELINE.json config shortcut: 1=single-image "
+                         "flood fp32, 2=smog only, 3=wildfire only, "
+                         "4=batched bf16 all events")
     ap.add_argument("--iters", type=int, default=12)
     ap.add_argument("--warmup", type=int, default=2)
     ap.add_argument("--size", type=int, default=640)
-    ap.add_argument("--events", choices=["flood", "all"], default="flood")
+    ap.add_argument("--events",
+                    choices=["flood", "smog", "wildfire", "all"],
+                    default="flood")
     ap.add_argument("--dtype", choices=["bfloat16", "float32"],
                     default="bfloat16")
     args = ap.parse_args()
@@ -47,8 +53,23 @@ def main():
     from climategan_tpu.utils.opts import load_opts
 
     opts = load_opts()
+    if args.config == 1:  # single-image flood fp32
+        args.batch, args.dtype, args.events = 1, "float32", "flood"
+    elif args.config == 2:  # smog only
+        args.events = "smog"
+    elif args.config == 3:  # wildfire only
+        args.events = "wildfire"
+    elif args.config == 4:  # batched bf16 all events
+        args.events, args.dtype = "all", "bfloat16"
+
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-    ignore = ("wildfire", "smog") if args.events == "flood" else ()
+    ignore_map = {
+        "flood": ("wildfire", "smog"),
+        "smog": ("wildfire", "flood"),
+        "wildfire": ("smog", "flood"),
+        "all": (),
+    }
+    ignore = ignore_map[args.events]
 
     G, infer = build_infer_fn(opts, dtype=dtype, ignore_event=ignore,
                               donate=False, freeze_spectral=True)

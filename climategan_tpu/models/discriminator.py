@@ -131,6 +131,7 @@ class FCDiscriminator(nn.Module):
 @dataclasses.dataclass(frozen=True)
 class DisConfig:
     tasks: Tuple[str, ...] = ("d", "s", "m", "p")
+    p_use_local: bool = False
     p_num_D: int = 3
     p_ndf: int = 64
     p_n_layers: int = 4
@@ -148,6 +149,7 @@ class DisConfig:
         d = opts.dis
         return cls(
             tasks=tuple(opts.tasks),
+            p_use_local=bool(d.p.get("use_local_discriminator", False)),
             p_num_D=int(d.p.get("num_D", 3)),
             p_ndf=int(d.p.get("ndf", 64)),
             p_n_layers=int(d.p.get("n_layers", 4)),
@@ -172,11 +174,18 @@ class OmniDiscriminator(nn.Module):
     def setup(self):
         c = self.cfg
         if "p" in c.tasks:
-            self.p = MultiscaleDiscriminator(
+            kw = dict(
                 num_D=c.p_num_D, ndf=c.p_ndf, n_layers=c.p_n_layers,
                 norm=c.p_norm, use_sigmoid=c.p_use_sigmoid,
                 get_intermediate_features=c.p_get_intermediate_features,
             )
+            if c.p_use_local:
+                # global/local pair on 3-channel inputs
+                # (reference discriminator.py:245-270)
+                self.p_global = MultiscaleDiscriminator(**kw)
+                self.p_local = MultiscaleDiscriminator(**kw)
+            else:
+                self.p = MultiscaleDiscriminator(**kw)
         if "m" in c.tasks and c.m_use_advent:
             self.m_advent = FCDiscriminator(use_norm=c.m_wgan_norm)
         if "s" in c.tasks and c.s_use_advent:
@@ -184,6 +193,12 @@ class OmniDiscriminator(nn.Module):
 
     def disc_p(self, x, train: bool = False, update_sn: bool = False):
         return self.p(x, train=train, update_sn=update_sn)
+
+    def disc_p_global(self, x, train: bool = False, update_sn: bool = False):
+        return self.p_global(x, train=train, update_sn=update_sn)
+
+    def disc_p_local(self, x, train: bool = False, update_sn: bool = False):
+        return self.p_local(x, train=train, update_sn=update_sn)
 
     def disc_m(self, x, train: bool = False, update_sn: bool = False):
         return self.m_advent(x, train=train, update_sn=update_sn)
@@ -195,7 +210,13 @@ class OmniDiscriminator(nn.Module):
                  train: bool = False, update_sn: bool = False):
         out = {}
         if p_in is not None and "p" in self.cfg.tasks:
-            out["p"] = self.disc_p(p_in, train=train, update_sn=update_sn)
+            if self.cfg.p_use_local:
+                out["p_global"] = self.disc_p_global(
+                    p_in[..., :3], train=train, update_sn=update_sn)
+                out["p_local"] = self.disc_p_local(
+                    p_in[..., :3], train=train, update_sn=update_sn)
+            else:
+                out["p"] = self.disc_p(p_in, train=train, update_sn=update_sn)
         if m_in is not None and hasattr(self, "m_advent"):
             out["m"] = self.disc_m(m_in, train=train, update_sn=update_sn)
         if s_in is not None and hasattr(self, "s_advent"):

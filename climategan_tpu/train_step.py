@@ -101,6 +101,7 @@ class TrainConfig:
     m_spade_detach: bool = False
     use_pl4m: bool = False
     p_loss: str = "gan"  # gan | hinge
+    p_use_local: bool = False
     p_diff_aug_use: bool = False
     p_diff_aug_color: bool = False
     p_diff_aug_cutout: bool = False
@@ -157,6 +158,8 @@ class TrainConfig:
             m_spade_detach=bool(opts.gen.m.spade.get("detach", False)),
             use_pl4m=bool(opts.gen.m.get("use_pl4m", False)),
             p_loss=opts.gen.p.get("loss", "gan"),
+            p_use_local=bool(opts.dis.p.get("use_local_discriminator",
+                                            False)),
             p_diff_aug_use=bool(opts.gen.p.diff_aug.get("use", False)),
             p_diff_aug_color=bool(
                 opts.gen.p.diff_aug.get("do_color_jittering", False)
@@ -499,6 +502,11 @@ class StepBuilder:
                 frozen["params"]["painter"]
             )
         fake = self._paint(frozen, x, m, rng)
+        if self.cfg.p_use_local:
+            fdg = self.D.apply(d_vars, fake, method="disc_p_global")
+            fdl = self.D.apply(d_vars, fake * m, method="disc_p_local")
+            return (self._p_gan_loss(fdg, True, rng, False)
+                    + self._p_gan_loss(fdl, True, rng, False))
         real_fake = jnp.concatenate(
             [jnp.concatenate([m, x], axis=-1),
              jnp.concatenate([m, fake], axis=-1)], axis=0
@@ -542,6 +550,23 @@ class StepBuilder:
             k1, k2 = jax.random.split(jax.random.fold_in(rng, 7))
             fake = self._diff_aug(k1, fake)
             x = self._diff_aug(k2, x)
+
+        if cfg.p_use_local:
+            # global on full images + local on masked regions
+            # (reference trainer.py:1324-1356)
+            fake_d_g = self.D.apply(d_vars, fake, method="disc_p_global")
+            fake_d_l = self.D.apply(d_vars, fake * m, method="disc_p_local")
+            real_d_g = self.D.apply(d_vars, x, method="disc_p_global")
+            gl = self._p_gan_loss(fake_d_g, True, rng, False)
+            gl += self._p_gan_loss(fake_d_l, True, rng, False)
+            gl *= cfg.lam_p_gan
+            total += gl
+            metrics["p_gan"] = gl
+            if cfg.lam_p_featmatch != 0:
+                fl = L.feat_match_loss(real_d_g, fake_d_g) * cfg.lam_p_featmatch
+                total += fl
+                metrics["p_featmatch"] = fl
+            return total, metrics
 
         real_fake = jnp.concatenate(
             [jnp.concatenate([m, x], axis=-1),
@@ -633,6 +658,22 @@ class StepBuilder:
                         k1, k2 = jax.random.split(jax.random.fold_in(rng, 7))
                         fake = self._diff_aug(k1, fake)
                         x = self._diff_aug(k2, x)
+                    if self.cfg.p_use_local:
+                        # reference trainer.py:1088-1107
+                        fdg = self.D.apply(d_vars, fake,
+                                           method="disc_p_global")
+                        rdg = self.D.apply(d_vars, x, method="disc_p_global")
+                        fdl = self.D.apply(d_vars, fake * m,
+                                           method="disc_p_local")
+                        rdl = self.D.apply(d_vars, x * m,
+                                           method="disc_p_local")
+                        dl = (self._p_gan_loss(fdg, False, rng, True)
+                              + self._p_gan_loss(rdg, True, rng, True)
+                              + self._p_gan_loss(fdl, False, rng, True)
+                              + self._p_gan_loss(rdl, True, rng, True))
+                        total += dl
+                        metrics["D_p_gan"] = dl
+                        continue
                     real_fake = jnp.concatenate(
                         [jnp.concatenate([m, x], axis=-1),
                          jnp.concatenate([m, fake], axis=-1)], axis=0

@@ -56,3 +56,15 @@ def test_dryrun_multichip_8():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_train_step_local_discriminator():
+    opts = tiny_opts(image_size=64)
+    opts.dis.p.use_local_discriminator = True
+    builder = StepBuilder(opts, vgg_variables=None)
+    rng = jax.random.PRNGKey(0)
+    batch = _batch()
+    state = builder.init_state(rng, batch)
+    state2, metrics = jax.jit(builder.train_step)(state, batch)
+    assert np.isfinite(float(metrics["g_total"]))
+    assert np.isfinite(float(metrics["d_total"]))
