@@ -41,6 +41,10 @@ def parse_args():
     p.add_argument("--time", action="store_true", dest="time_inference",
                    help="Print the per-stage timing report")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--zip_outputs", action="store_true",
+                   help="zip the output directory when done")
+    p.add_argument("--upload", action="store_true",
+                   help="upload outputs to comet.ml (requires comet creds)")
     p.add_argument("--fuse", action="store_true",
                    help="bake spectral-norm sigmas into kernels and skip "
                         "power iterations (BN folding is automatic under "
@@ -195,6 +199,25 @@ def main():
                                 out[event][j][..., ::-1],
                             )
             print(f"  processed {i + len(chunk)}/{len(items)} @ {shape}")
+
+    if args.zip_outputs:
+        import shutil
+
+        zip_path = shutil.make_archive(str(out_dir), "zip", out_dir)
+        print(f"zipped outputs: {zip_path}")
+
+    if args.upload:
+        try:
+            import comet_ml
+
+            exp = comet_ml.Experiment(project_name="climategan-tpu-inference")
+            for f in sorted(out_dir.iterdir()):
+                if f.suffix == ".png":
+                    exp.log_image(str(f))
+            exp.end()
+            print("uploaded outputs to comet")
+        except Exception as e:
+            print(f"comet upload unavailable: {e}", file=sys.stderr)
 
     if args.time_inference:
         print("\n--- timing report (s) ---")

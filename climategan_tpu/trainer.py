@@ -144,6 +144,10 @@ class Trainer:
         jax.block_until_ready(self.state.g_params)
         dt = time.time() - t0
         self.logger.log_epoch_time(epoch, dt, n_steps)
+        self.logger.log_metrics({
+            "lr/G": self.builder.g_lr * g_scale,
+            "lr/D": self.builder.d_lr * d_scale,
+        })
 
     @property
     def global_step(self) -> int:
@@ -352,7 +356,41 @@ class Trainer:
         self.logger.print(f"saved checkpoint at epoch {self.current_epoch}")
 
     def resume(self):
-        from climategan_tpu.utils.checkpoint import restore_checkpoint
+        """Resume with the reference's load-path precedence
+        (defaults.yaml:2-14): pm > (p and/or m) > output_path/latest."""
+        from climategan_tpu.utils.checkpoint import (
+            load_partial_state,
+            restore_checkpoint,
+        )
+
+        lp = self.opts.get("load_paths", {}) or {}
+
+        def _dir(v):
+            return (Path(str(v)) / "checkpoints"
+                    if v and str(v).lower() != "none" else None)
+
+        pm, p, m = _dir(lp.get("pm")), _dir(lp.get("p")), _dir(lp.get("m"))
+        if pm is not None:
+            new = load_partial_state(pm, self.state, ("masker", "painter"))
+            if new is not None:
+                self.state = new
+                self.logger.print(f"loaded P+M weights from {pm}")
+                return True
+        loaded = False
+        if m is not None:
+            new = load_partial_state(m, self.state, ("masker",))
+            if new is not None:
+                self.state = new
+                loaded = True
+                self.logger.print(f"loaded Masker weights from {m}")
+        if p is not None:
+            new = load_partial_state(p, self.state, ("painter",))
+            if new is not None:
+                self.state = new
+                loaded = True
+                self.logger.print(f"loaded Painter weights from {p}")
+        if loaded:
+            return True
 
         out = Path(str(self.opts.output_path)) / "checkpoints"
         state, epoch = restore_checkpoint(out, self.state)

@@ -70,6 +70,46 @@ def restore_checkpoint(directory, target_state) -> Tuple[Optional[object], int]:
     return restored, int(meta["epoch"])
 
 
+_MASKER_MODULES = ("encoder", "depth_decoder", "seg_decoder", "mask_decoder")
+_PAINTER_MODULES = ("painter",)
+
+
+def load_partial_state(directory, state, parts=("masker", "painter")):
+    """Copy masker and/or painter subtrees from another run's checkpoint
+    into ``state`` (the reference's load_paths.m / .p / .pm semantics,
+    trainer.py:422-579 + defaults.yaml:2-14)."""
+    directory = Path(directory)
+    meta_path = directory / "latest.json"
+    if not meta_path.exists() or not _HAS_ORBAX:
+        return None
+    with open(meta_path) as f:
+        meta = json.load(f)
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(Path(meta["latest"]).resolve())
+    if not (isinstance(restored, dict) and "g_params" in restored):
+        return None
+
+    modules = []
+    if "masker" in parts:
+        modules += list(_MASKER_MODULES)
+    if "painter" in parts:
+        modules += list(_PAINTER_MODULES)
+
+    g_params = dict(state.g_params)
+    g_state = {k: dict(v) for k, v in state.g_state.items()}
+    for mod in modules:
+        if mod in restored["g_params"]:
+            g_params[mod] = jax.tree_util.tree_map(
+                jax.numpy.asarray, restored["g_params"][mod]
+            )
+        for coll, tree in restored.get("g_state", {}).items():
+            if coll in g_state and mod in tree:
+                g_state[coll][mod] = jax.tree_util.tree_map(
+                    jax.numpy.asarray, tree[mod]
+                )
+    return state._replace(g_params=g_params, g_state=g_state)
+
+
 def load_generator_variables(directory, target_variables):
     """Restore only generator variables (inference path; the analog of the
     reference's lenient inference state-dict load, trainer.py:527-546)."""

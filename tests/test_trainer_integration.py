@@ -5,6 +5,7 @@ training loop)."""
 import json
 import os
 from pathlib import Path
+import jax
 
 import numpy as np
 import pytest
@@ -122,3 +123,32 @@ def test_trainer_epoch_save_resume(trainer_opts):
     trainer2.setup()
     assert trainer2.resume()
     assert int(trainer2.state.step) == 2
+
+
+def test_partial_checkpoint_load(trainer_opts):
+    """load_paths.m / .p partial restores (reference trainer.py:422-579)."""
+    import jax.numpy as jnp
+    from climategan_tpu.trainer import Trainer
+    from climategan_tpu.utils.checkpoint import load_partial_state
+
+    src = Trainer(trainer_opts)
+    src.setup()
+    ckpt_dir = Path(str(trainer_opts.output_path)) / "checkpoints"
+    # the previous test saved a checkpoint at this path
+
+    dst = Trainer(trainer_opts)
+    dst.setup(rng_seed=123)  # different init
+    before = np.asarray(
+        jax.tree_util.tree_leaves(dst.state.g_params["painter"])[0]
+    ).copy()
+    new = load_partial_state(ckpt_dir, dst.state, parts=("painter",))
+    assert new is not None
+    after = np.asarray(
+        jax.tree_util.tree_leaves(new.g_params["painter"])[0]
+    )
+    assert not np.allclose(before, after)  # painter replaced
+    # masker untouched
+    enc_before = jax.tree_util.tree_leaves(dst.state.g_params["encoder"])[0]
+    enc_after = jax.tree_util.tree_leaves(new.g_params["encoder"])[0]
+    np.testing.assert_array_equal(np.asarray(enc_before),
+                                  np.asarray(enc_after))
