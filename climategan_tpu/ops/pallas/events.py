@@ -34,11 +34,15 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _tile(M: int) -> int:
+def _tile(M: int, W: int = 640, n_planes: int = 16) -> int:
+    """Largest row-tile that divides M and keeps all pipelined plane
+    buffers (n_planes x tile x W f32, double-buffered) within ~12MB of the
+    16MB VMEM."""
+    budget = 12 * 1024 * 1024
     for t in (512, 256, 128, 64, 32, 16, 8):
-        if M % t == 0:
+        if M % t == 0 and t * W * 4 * n_planes <= budget:
             return t
-    return M
+    return 8 if M % 8 == 0 else M
 
 
 def _plane_specs(n: int, tile: int, W: int):
@@ -69,7 +73,7 @@ def smog_tail(x01: jax.Array, d: jax.Array, airlight: float, beta: float,
     inverse depth. Fuses reference trainer.py:1900-1938 elementwise tail."""
     N, H, W, _ = x01.shape
     M = N * H
-    tile = _tile(M)
+    tile = _tile(M, W, 2 * (4 + 3))
     a = alpha / 255.0
     ys = tuple(y / 255.0 for y in yellow)
 
@@ -111,7 +115,7 @@ def fire_color_grade(x255: jax.Array, gray_mean: jax.Array,
     uint8 truncation after each (reference fire.py:89-91)."""
     N, H, W, _ = x255.shape
     M = N * H
-    tile = _tile(M)
+    tile = _tile(M, W, 2 * (4 + 3))
 
     def kernel(r_ref, g_ref, b_ref, m_ref, ro_ref, go_ref, bo_ref):
         mean = m_ref[0, 0]
@@ -153,7 +157,7 @@ def fire_paste(x255: jax.Array, sky: jax.Array, g_value: jax.Array,
     brightness with uint8 truncation (reference fire.py:113-121)."""
     N, H, W, _ = x255.shape
     M = N * H
-    tile = _tile(M)
+    tile = _tile(M, W, 2 * (5 + 3))
     t = transparency / 255.0
 
     def kernel(r_ref, g_ref, b_ref, s_ref, gv_ref, ro_ref, go_ref, bo_ref):
@@ -196,7 +200,7 @@ def masked_blend(x: jax.Array, fake: jax.Array, m: jax.Array) -> jax.Array:
     """Flood paste-original-content blend (reference generator.py:292-297)."""
     N, H, W, C = x.shape
     M = N * H
-    tile = _tile(M)
+    tile = _tile(M, W, 2 * (2 * C + 1 + C))
 
     def kernel(*refs):
         n_in = 2 * C + 1
