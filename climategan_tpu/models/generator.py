@@ -291,6 +291,34 @@ class OmniGenerator(nn.Module):
         )
         return x * (1.0 - m) + fake * m
 
+    def sample_painter_z(self, rng, batch_size: int, height: int, width: int,
+                         dtype=jnp.float32):
+        """Painter latent sampling (reference generator.py:179-194);
+        returns None under no_z (the default)."""
+        if self.cfg.p_no_z:
+            return None
+        zh = height // (2 ** self.cfg.p_spade_n_up)
+        zw = width // (2 ** self.cfg.p_spade_n_up)
+        return jax.random.normal(
+            rng, (batch_size, zh, zw, self.cfg.p_latent_dim), dtype
+        )
+
+    def depth_map(self, x=None, z=None, return_z_depth: bool = False,
+                  train: bool = False):
+        """Depth head with classification argmax handling
+        (reference generator.py:330-355)."""
+        assert (x is None) != (z is None)
+        if z is None:
+            z = self.encode(x, train=train)
+        d, z_depth = self.depth_decoder(z, train=train)
+        if d.shape[-1] > 1:  # bucketized classification head
+            d = jnp.argmax(d, axis=-1).astype(jnp.float32)
+            d = d / jnp.maximum(d.max(), 1e-12)
+            d = d[..., None]
+        if return_z_depth:
+            return d, z_depth
+        return d
+
     def infer_masker(self, x, train: bool = False):
         """Fused masker forward: x -> (depth, seg, mask) in one trace.
 
