@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Training-step benchmark: full G+D update (masker ADVENT + painter GAN)
+at 640x640, synthetic batches. The reference publishes no training numbers
+(BASELINE.md); this measures ours on real hardware.
+
+Prints one JSON line: images/sec/chip counting each domain sample once.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import statistics
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=2, help="per-domain batch")
+    ap.add_argument("--size", type=int, default=640)
+    ap.add_argument("--feat", type=int, default=160)
+    ap.add_argument("--iters", type=int, default=6)
+    ap.add_argument("--warmup", type=int, default=2)
+    args = ap.parse_args()
+
+    from climategan_tpu.train_step import StepBuilder
+    from climategan_tpu.utils.opts import load_opts
+
+    opts = load_opts()
+    builder = StepBuilder(opts, vgg_variables=None)
+    rng = jax.random.PRNGKey(0)
+    n, size, feat = args.batch, args.size, args.feat
+    r = np.random.RandomState(0)
+
+    def img(*s):
+        return r.uniform(-1, 1, s).astype(np.float32)
+
+    def mk():
+        return (r.rand(n, size, size, 1) > 0.5).astype(np.float32)
+
+    batch = {
+        "r": {"x": img(n, size, size, 3), "m": mk()},
+        "s": {
+            "x": img(n, size, size, 3),
+            "d": r.uniform(0.01, 1, (n, feat, feat, 1)).astype(np.float32),
+            "s": r.randint(0, 11, (n, feat, feat)).astype(np.int32),
+            "m": mk(),
+        },
+        "rf": {"x": img(n, size, size, 3), "m": mk()},
+    }
+
+    print("initializing...", file=sys.stderr)
+    state = builder.init_state(rng, batch)
+    batch = jax.device_put(batch)
+    step = jax.jit(builder.train_step, donate_argnums=(0,))
+
+    print("compiling train step...", file=sys.stderr)
+    for _ in range(args.warmup):
+        state, metrics = step(state, batch)
+        jax.block_until_ready(metrics)
+        float(metrics["g_total"])  # hard sync
+
+    times = []
+    for _ in range(args.iters):
+        t0 = time.perf_counter()
+        state, metrics = step(state, batch)
+        float(metrics["g_total"])  # device->host sync
+        times.append(time.perf_counter() - t0)
+
+    p50 = statistics.median(times)
+    imgs = 3 * args.batch  # r + s + rf samples per step
+    print(json.dumps({
+        "metric": f"train images/sec/chip at {size}x{size} "
+                  "(G+D ExtraAdam step, 3 domains)",
+        "value": round(imgs / p50, 3),
+        "unit": "images/sec/chip",
+        "vs_baseline": 0,
+        "p50_step_latency_s": round(p50, 4),
+        "per_domain_batch": args.batch,
+        "g_loss": round(float(metrics["g_total"]), 4),
+        "d_loss": round(float(metrics["d_total"]), 4),
+        "platform": jax.devices()[0].platform,
+    }))
+
+
+if __name__ == "__main__":
+    main()
