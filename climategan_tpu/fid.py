@@ -40,15 +40,23 @@ class ConvBN(nn.Module):
 
 
 def _pool(x, ks, st, pad=((0, 0), (0, 0)), kind="max"):
+    """max / avg pooling; avg divides by the true window size at borders
+    (count_include_pad=False), matching pytorch-fid's patched Inception
+    blocks (reference fid.py:22-331 vendors FIDInception{A,C,E})."""
     padding = ((0, 0),) + tuple(pad) + ((0, 0),)
     if kind == "max":
         return jax.lax.reduce_window(
-            x, -jnp.inf, jax.lax.max, (1, ks, ks, 1), (1, st, st, 1), padding
+            x, -float("inf"), jax.lax.max,
+            (1, ks, ks, 1), (1, st, st, 1), padding,
         )
     s = jax.lax.reduce_window(
         x, 0.0, jax.lax.add, (1, ks, ks, 1), (1, st, st, 1), padding
     )
-    return s / (ks * ks)
+    ones = jnp.ones(x.shape[1:3], x.dtype)[None, :, :, None]
+    cnt = jax.lax.reduce_window(
+        ones, 0.0, jax.lax.add, (1, ks, ks, 1), (1, st, st, 1), padding
+    )
+    return s / cnt
 
 
 class InceptionA(nn.Module):
@@ -112,7 +120,9 @@ class InceptionD(nn.Module):
 
 
 class InceptionE(nn.Module):
-    pool_kind: str = "avg"  # fid variant uses max pool in the last block? no
+    # pytorch-fid: Mixed_7b uses border-corrected avg pool (E_1), Mixed_7c
+    # uses max pool (E_2)
+    pool_kind: str = "avg"
 
     @nn.compact
     def __call__(self, x):
@@ -157,7 +167,7 @@ class InceptionV3Features(nn.Module):
         x = InceptionC(192, name="Mixed_6e")(x)
         x = InceptionD(name="Mixed_7a")(x)
         x = InceptionE(name="Mixed_7b")(x)
-        x = InceptionE(name="Mixed_7c")(x)
+        x = InceptionE(pool_kind="max", name="Mixed_7c")(x)
         # global average pool -> (N, 2048)
         return jnp.mean(x, axis=(1, 2))
 
