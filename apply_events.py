@@ -178,9 +178,9 @@ def main():
         for i in range(0, len(items), args.batch_size):
             chunk = items[i: i + args.batch_size]
             batch = np.stack([a for _, a in chunk])
-            # pad to full batch for a single compiled shape
+            # pad to full batch so every bucket reuses one compiled shape
             pad = args.batch_size - len(chunk)
-            if pad and len(by_shape) == 1:
+            if pad:
                 batch = np.concatenate(
                     [batch, np.repeat(batch[-1:], pad, axis=0)], axis=0
                 )

@@ -35,6 +35,9 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--stage", choices=["all", "masker", "painter"],
                     default="all", help="isolate a pipeline stage")
+    ap.add_argument("--mesh", action="store_true",
+                    help="shard the batch across all visible devices "
+                         "(data-parallel inference; reports per-chip rate)")
     ap.add_argument("--config", type=int, default=0,
                     help="BASELINE.json config shortcut: 1=single-image "
                          "flood fp32, 2=smog only, 3=wildfire only, "
@@ -96,7 +99,20 @@ def main():
         rng, (args.batch, args.size, args.size, 3),
         minval=-1.0, maxval=1.0,
     )
-    x = jax.device_put(x)
+    n_chips = 1
+    if args.mesh and len(jax.devices()) > 1:
+        from climategan_tpu.parallel.mesh import (
+            make_mesh, replicate, shard_batch,
+        )
+
+        n_chips = max(d for d in range(1, len(jax.devices()) + 1)
+                      if args.batch % d == 0)
+        mesh = make_mesh(n_chips)
+        x = shard_batch(mesh, x)
+        variables = replicate(mesh, variables)
+        print(f"data-parallel over {n_chips} devices", file=sys.stderr)
+    else:
+        x = jax.device_put(x)
 
     def sync(out):
         # On the remote-tunnel platform block_until_ready can return before
@@ -125,7 +141,7 @@ def main():
     p50 = statistics.median(times)
     imgs_per_sec = args.batch / p50
     n_dev = max(1, len(jax.devices()))
-    per_chip = imgs_per_sec / 1  # single-chip bench; mesh bench divides
+    per_chip = imgs_per_sec / n_chips
 
     result = {
         "metric": (
