@@ -28,12 +28,17 @@ def main():
     ap.add_argument("--feat", type=int, default=160)
     ap.add_argument("--iters", type=int, default=6)
     ap.add_argument("--warmup", type=int, default=2)
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialize forward activations (fits larger "
+                         "batches in HBM)")
     args = ap.parse_args()
 
     from climategan_tpu.train_step import StepBuilder
     from climategan_tpu.utils.opts import load_opts
 
     opts = load_opts()
+    if args.remat:
+        opts.tpu.remat = True
     builder = StepBuilder(opts, vgg_variables=None)
     rng = jax.random.PRNGKey(0)
     n, size, feat = args.batch, args.size, args.feat

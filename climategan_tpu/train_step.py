@@ -218,6 +218,10 @@ class StepBuilder:
         self.cfg = TrainConfig.from_opts(opts)
         self.G = create_generator(opts)
         self.D = create_discriminator(opts)
+        # rematerialization: recompute forward activations in the backward
+        # pass (jax.checkpoint) — trades FLOPs for HBM, enabling 640^2
+        # training batches on a 16GB chip
+        self.remat = bool(opts.get("tpu", {}).get("remat", False))
         self.vgg_variables = vgg_variables
         g_lr_conf = opts.gen.opt.lr
         d_lr_conf = opts.dis.opt.lr
@@ -596,7 +600,6 @@ class StepBuilder:
         d_vars = _merge_vars(state.d_params, state.d_state)
 
         def loss_fn(g_params):
-            g_vars = _merge_vars(g_params, state.g_state)
             total = 0.0
             metrics = {}
             new_gstate = state.g_state
@@ -605,16 +608,30 @@ class StepBuilder:
                     continue
                 if not any(t in self.cfg.tasks for t in "msd"):
                     continue
-                dl, dm, gs = self._masker_losses(
-                    g_vars, d_vars, batch[domain], domain, "G", rng,
-                    mutable=True,
-                )
+
+                def masker_domain(p, dbatch, domain=domain):
+                    return self._masker_losses(
+                        _merge_vars(p, state.g_state), d_vars, dbatch,
+                        domain, "G", rng, mutable=True,
+                    )
+
+                if self.remat:
+                    masker_domain = jax.checkpoint(masker_domain)
+                dl, dm, gs = masker_domain(g_params, batch[domain])
                 total += dl
                 metrics.update(dm)
                 if gs:
                     new_gstate = gs
             if "p" in self.cfg.tasks and "rf" in batch:
-                pl, pm = self._painter_losses(g_vars, d_vars, batch["rf"], rng)
+
+                def painter_fn(p, dbatch):
+                    return self._painter_losses(
+                        _merge_vars(p, state.g_state), d_vars, dbatch, rng
+                    )
+
+                if self.remat:
+                    painter_fn = jax.checkpoint(painter_fn)
+                pl, pm = painter_fn(g_params, batch["rf"])
                 total += pl
                 metrics.update(pm)
             metrics["g_total"] = total

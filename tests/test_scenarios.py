@@ -99,3 +99,19 @@ def test_deeplabv2_scenario():
     assert out["m"].shape == (1, 64, 64, 1)
     assert out["s"].shape[-1] == 11
     assert np.isfinite(np.asarray(out["p"])).all()
+
+
+def test_painter_with_sampled_z():
+    """no_z=False: painter consumes a sampled latent
+    (reference generator.py:179-194)."""
+    opts = tiny_opts(image_size=64)
+    opts.gen.p.no_z = False
+    G = create_generator(opts)
+    x = jnp.ones((1, 64, 64, 3))
+    m = jnp.zeros((1, 64, 64, 1))
+    rng = jax.random.PRNGKey(0)
+    variables = G.init(rng, x)
+    z = G.apply(variables, rng, 1, 64, 64, method="sample_painter_z")
+    assert z is not None and z.shape == (1, 2, 2, 32)
+    painted = G.apply(variables, m, x, rng=rng, method="paint")
+    assert painted.shape == (1, 64, 64, 3)
