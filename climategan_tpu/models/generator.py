@@ -365,7 +365,11 @@ class OmniGenerator(nn.Module):
             m = out.get("m")
             if m is None:
                 m = jnp.zeros(x.shape[:3] + (1,), x.dtype)
-            out["p"] = self.paint(m, x, train=train, update_sn=update_sn)
+            rng = (None if c.p_no_z
+                   else (self.make_rng("z") if self.has_rng("z")
+                         else jax.random.PRNGKey(0)))
+            out["p"] = self.paint(m, x, rng=rng, train=train,
+                                  update_sn=update_sn)
         return out
 
 
