@@ -113,6 +113,7 @@ class TrainConfig:
     m_gan_type: str = "WGAN_norm"
     s_gan_type: str = "WGAN_norm"
     use_vgg: bool = True
+    bf16: bool = True  # bf16 activations, f32 params/losses (TPU policy)
     pseudo_tasks: Tuple[str, ...] = ()
     lam_s_crossent_pseudo: float = 0.001
     wgan_gp_lambda: float = 10.0
@@ -179,6 +180,7 @@ class TrainConfig:
             m_gan_type=opts.dis.m.get("gan_type", "WGAN_norm"),
             s_gan_type=opts.dis.s.get("gan_type", "WGAN_norm"),
             use_vgg=float(lam.G.p.vgg) != 0,
+            bf16=bool(opts.train.get("bf16", True)),
             pseudo_tasks=tuple(opts.train.get("pseudo", {}).get("tasks", [])
                                or []),
             lam_s_crossent_pseudo=float(lam.G.s.get("crossent_pseudo", 0.001)),
@@ -291,6 +293,8 @@ class StepBuilder:
         cfg = self.cfg
         G, D = self.G, self.D
         x = batch["x"]
+        if cfg.bf16 and not eval_mode:
+            x = x.astype(jnp.bfloat16)
         metrics = {}
 
         def gapply(method, *args, **kw):
@@ -522,12 +526,17 @@ class StepBuilder:
     def _painter_losses(self, g_vars, d_vars, batch, rng):
         """Painter G losses on the rf domain (reference :1256-1387)."""
         cfg = self.cfg
-        x = batch["x"].astype(jnp.float32)
-        m = batch["m"].astype(jnp.float32)
+        cdtype = jnp.bfloat16 if cfg.bf16 else jnp.float32
+        x = batch["x"].astype(cdtype)
+        m = batch["m"].astype(cdtype)
         metrics = {}
         total = 0.0
 
         fake = self._paint(g_vars, x, m, rng)
+        # losses accumulate in f32
+        x = x.astype(jnp.float32)
+        m = m.astype(jnp.float32)
+        fake = fake.astype(jnp.float32)
 
         if cfg.use_vgg and cfg.lam_p_vgg != 0 and self.vgg_variables is not None:
             vl = L.vgg_loss(
@@ -668,9 +677,13 @@ class StepBuilder:
             metrics = {}
             for domain, dbatch in batch.items():
                 if domain == "rf" and "p" in self.cfg.tasks:
-                    x = dbatch["x"].astype(jnp.float32)
-                    m = dbatch["m"].astype(jnp.float32)
+                    cdtype = jnp.bfloat16 if self.cfg.bf16 else jnp.float32
+                    x = dbatch["x"].astype(cdtype)
+                    m = dbatch["m"].astype(cdtype)
                     fake = jax.lax.stop_gradient(self._paint(g_vars, x, m, rng))
+                    x = x.astype(jnp.float32)
+                    m = m.astype(jnp.float32)
+                    fake = fake.astype(jnp.float32)
                     if self.cfg.p_diff_aug_use:
                         k1, k2 = jax.random.split(jax.random.fold_in(rng, 7))
                         fake = self._diff_aug(k1, fake)
