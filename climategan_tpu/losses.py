@@ -76,7 +76,13 @@ def gan_loss(
     fake_label: float = 0.0,
 ) -> Array:
     """LSGAN (MSE) or vanilla (BCE-with-logits) GAN loss with one-sided
-    label smoothing and label flipping (reference losses.py:13-83)."""
+    label smoothing and label flipping (reference losses.py:13-83).
+
+    Deliberate divergences from the reference's sampling quirks: the
+    reference re-toggles `target_is_real` inside its per-scale loop (so a
+    triggered flip alternates across scales — losses.py:72-75) and draws a
+    fresh soft-shift per scale; here one flip decision and one soft shift
+    apply to all scales of the call, which is the evident intent."""
     preds = _final_preds(pred)
     target = real_label if target_is_real else fake_label
 

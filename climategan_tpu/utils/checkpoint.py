@@ -28,11 +28,21 @@ def _to_host(tree):
 
 
 def save_checkpoint(directory, state, epoch: int, opts=None) -> Path:
+    """latest_ckpt every epoch + periodic epoch_N keeps (reference
+    trainer.py:396-420, cadence defaults.yaml:313-314)."""
     directory = Path(directory)
     directory.mkdir(parents=True, exist_ok=True)
-    path = (directory / f"epoch_{epoch}").resolve()
+
+    save_n = int(opts.train.get("save_n_epochs", 25)) if opts else 25
+    min_save = int(opts.train.get("min_save_epoch", 28)) if opts else 28
+    keep = epoch >= min_save and epoch % max(save_n, 1) == 0
+    path = (directory / (f"epoch_{epoch}" if keep else "latest_ckpt")).resolve()
 
     if _HAS_ORBAX:
+        import shutil
+
+        if path.exists():
+            shutil.rmtree(path)
         ckptr = ocp.StandardCheckpointer()
         ckptr.save(path, _to_host(state), force=True)
         ckptr.wait_until_finished()
