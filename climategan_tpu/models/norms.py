@@ -217,12 +217,33 @@ class SNConv(nn.Module):
         return y
 
 
+class ConvParams(nn.Module):
+    """Declares conv kernel+bias params without executing the conv —
+    lets SPADE fuse the gamma/beta convs into one MXU call while keeping
+    the checkpoint path layout (mlp_gamma/kernel, mlp_beta/kernel)."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+    in_features: int
+    kernel_init: Callable = nn.initializers.lecun_normal()
+
+    @nn.compact
+    def __call__(self):
+        kh, kw = self.kernel_size
+        k = self.param("kernel", self.kernel_init,
+                       (kh, kw, self.in_features, self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
+
+
 class SPADE(nn.Module):
     """Spatially-adaptive (de)normalization (climategan/norms.py:146-186).
 
     gamma/beta are produced from the conditioning map by a small conv MLP;
     the conditioning map is resized to x's spatial dims with *nearest*
-    interpolation, exactly as the reference.
+    interpolation, exactly as the reference. TPU note: the gamma and beta
+    convs share an input, so they run as ONE conv with concatenated output
+    channels (identical math, better MXU fill for small norm_nc).
     """
 
     param_free_norm: str  # "instance" | "batch"
@@ -250,18 +271,23 @@ class SPADE(nn.Module):
             raise ValueError(f"Unknown SPADE param-free norm {self.param_free_norm}")
 
         pw = self.kernel_size // 2
+        ks = (self.kernel_size, self.kernel_size)
         seg = resize(segmap, (x.shape[1], x.shape[2]), mode="nearest")
-        actv = SNConv(
-            self.nhidden, (self.kernel_size, self.kernel_size),
-            padding=(pw, pw), name="mlp_shared",
-        )(seg)
+        actv = SNConv(self.nhidden, ks, padding=(pw, pw),
+                      name="mlp_shared")(seg)
         actv = nn.relu(actv)
-        gamma = SNConv(
-            self.norm_nc, (self.kernel_size, self.kernel_size),
-            padding=(pw, pw), name="mlp_gamma",
-        )(actv)
-        beta = SNConv(
-            self.norm_nc, (self.kernel_size, self.kernel_size),
-            padding=(pw, pw), name="mlp_beta",
-        )(actv)
+
+        kg, bg = ConvParams(self.norm_nc, ks, self.nhidden,
+                            name="mlp_gamma")()
+        kb, bb = ConvParams(self.norm_nc, ks, self.nhidden,
+                            name="mlp_beta")()
+        kernel = jnp.concatenate([kg, kb], axis=-1).astype(actv.dtype)
+        bias = jnp.concatenate([bg, bb]).astype(actv.dtype)
+        gb = jax.lax.conv_general_dilated(
+            actv, kernel, (1, 1), [(pw, pw), (pw, pw)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=actv.dtype,
+        ) + bias
+        gamma = gb[..., : self.norm_nc]
+        beta = gb[..., self.norm_nc:]
         return normalized * (1.0 + gamma) + beta
