@@ -16,12 +16,10 @@ framework's answer to torch's pinned-memory DataLoader workers).
 from __future__ import annotations
 
 import json
-import os
 import queue
 import random
-import threading
 from pathlib import Path
-from typing import Dict, Iterator, List, Optional
+from typing import Dict, Iterator, List
 
 import numpy as np
 import yaml

@@ -18,8 +18,6 @@ reference implementation (XLA fuses it into a handful of kernels too).
 """
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

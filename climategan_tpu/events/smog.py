@@ -15,7 +15,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from climategan_tpu.ops.image import lrgb2srgb, normalize, srgb2lrgb
+from climategan_tpu.ops.image import lrgb2srgb, normalize
 from climategan_tpu.ops.interpolate import resize
 
 

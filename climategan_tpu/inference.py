@@ -9,15 +9,14 @@ sharding-agnostic SPMD.
 """
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from climategan_tpu.events.fire import add_fire
 from climategan_tpu.events.smog import add_smog
-from climategan_tpu.models.generator import OmniGenerator, create_generator
+from climategan_tpu.models.generator import create_generator
 from climategan_tpu.ops.image import unit_range_to_uint8
 
 

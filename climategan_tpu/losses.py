@@ -15,8 +15,7 @@ is jit/grad-safe with static shapes. Reference anchors:
 from __future__ import annotations
 
 import math
-from functools import partial
-from typing import Callable, Dict, List, Optional, Sequence
+from typing import Callable, List, Optional
 
 import jax
 import jax.numpy as jnp

@@ -7,7 +7,7 @@ reshape/broadcast in ops.interpolate.upsample_nearest).
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -11,9 +11,8 @@ Re-design of reference climategan/depth.py:
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 

@@ -13,7 +13,7 @@ Re-design of reference climategan/discriminator.py:
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ cuts — trainer.py:273-309 — precisely because it couldn't do this).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -12,9 +12,6 @@ with fused BN at inference.
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple
-
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 

@@ -10,7 +10,7 @@ Re-designs of the reference normalizations (climategan/norms.py):
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Sequence, Tuple
+from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ input image (cond_nc=3), resized per-scale with nearest interpolation.
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

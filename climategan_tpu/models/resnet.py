@@ -11,10 +11,9 @@ time (the XLA-native equivalent of the reference's bn_fusion.py).
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import jax
-import jax.numpy as jnp
 from flax import linen as nn
 
 from climategan_tpu.models.norms import BatchNorm, SNConv

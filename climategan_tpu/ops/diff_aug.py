@@ -4,8 +4,6 @@ data-efficient-gans). NHWC, jit-friendly, randomness via explicit keys.
 """
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

@@ -15,7 +15,6 @@ the same code path is exercised by the test suite.
 """
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax

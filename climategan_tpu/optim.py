@@ -14,8 +14,7 @@ Re-design of reference climategan/optim.py:
 """
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, NamedTuple, Optional, Sequence, Tuple
+from typing import Any, Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

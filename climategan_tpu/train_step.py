@@ -22,14 +22,14 @@ painter. Which tasks exist per domain is static (from the dataset schema).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from climategan_tpu import losses as L
-from climategan_tpu.models.discriminator import OmniDiscriminator, create_discriminator
-from climategan_tpu.models.generator import OmniGenerator, create_generator
+from climategan_tpu.models.discriminator import create_discriminator
+from climategan_tpu.models.generator import create_generator
 from climategan_tpu.ops.interpolate import resize
 from climategan_tpu.optim import ExtraAdamState, extra_adam_step, init_extra_adam
 

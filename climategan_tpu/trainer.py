@@ -13,10 +13,9 @@ API parity (reference anchors):
 """
 from __future__ import annotations
 
-import json
 import time
 from pathlib import Path
-from typing import Any, Dict, Optional
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -29,7 +28,7 @@ from climategan_tpu.optim import make_lr_schedule
 from climategan_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 from climategan_tpu.train_step import StepBuilder, TrainState
 from climategan_tpu.utils.logger import Logger
-from climategan_tpu.utils.opts import Opts, load_opts
+from climategan_tpu.utils.opts import load_opts
 
 
 class Trainer:

@@ -18,7 +18,6 @@ every flax leaf assigned (strict mode), with shape checks at each site.
 """
 from __future__ import annotations
 
-import re
 from typing import Any, Dict, Tuple
 
 import numpy as np

@@ -4,7 +4,7 @@ counts, written to the run directory."""
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Any, Dict
+from typing import Dict
 
 import jax
 import numpy as np
