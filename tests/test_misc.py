@@ -1,0 +1,112 @@
+"""Misc coverage: opts system, launcher expansion, timer, summary,
+paint_and_mask resolution modes."""
+import json
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from climategan_tpu.utils.opts import (
+    Opts,
+    flatten_opts,
+    load_opts,
+    merge,
+    parse_overrides,
+)
+
+
+def test_opts_merge_and_overrides():
+    opts = load_opts(commandline_opts=["gen.p.latent_dim=32",
+                                       "tasks=[m,p]",
+                                       "train.epochs=7"])
+    assert opts.gen.p.latent_dim == 32
+    assert opts.tasks == ["m", "p"]
+    assert opts.train.epochs == 7
+    # derived domains: m -> r,s ; p -> rf (reference utils.py:164-172)
+    assert opts.domains == ["r", "s", "rf"]
+    # events auto-attached
+    assert opts.events.fire.kernel_size == 281
+    # addict-style missing key access
+    assert not opts.nonexistent.deeply.nested
+
+
+def test_flatten_opts():
+    flat = flatten_opts(Opts({"a": {"b": 1, "c": [1, 2]}, "d": "x"}))
+    assert flat == {"a.b": 1, "a.c": [1, 2], "d": "x"}
+
+
+def test_parse_overrides_yaml_values():
+    o = parse_overrides(["a.b=0.5", "c=true", "d=[1,2]", "e=text"])
+    assert o.a.b == 0.5 and o.c is True and o.d == [1, 2] and o.e == "text"
+
+
+def test_launcher_expansion():
+    import launch
+
+    exp = {
+        "runs": 3,
+        "searches": {
+            "gen.opt.lr.default": {"sample": "list", "from": [1e-4, 5e-5]},
+            "train.epochs": {"sample": "sequential", "from": [5, 10, 15]},
+        },
+        "base_overrides": {"tasks": "[m]"},
+    }
+    cfgs = launch.expand(exp, seed=0)
+    assert len(cfgs) == 3
+    assert [c["train.epochs"] for c in cfgs] == [5, 10, 15]
+    assert all(c["tasks"] == "[m]" for c in cfgs)
+
+    cart = launch.expand({
+        "cartesian": True,
+        "searches": {
+            "a": {"sample": "list", "from": [1, 2]},
+            "b": {"sample": "list", "from": [3, 4]},
+        },
+    })
+    assert len(cart) == 4
+
+
+def test_timer_and_report():
+    from climategan_tpu.utils.timer import Timer, stores_report
+
+    stores = {"stage": []}
+    with Timer(store=stores["stage"]):
+        pass
+    assert len(stores["stage"]) == 1
+    rep = stores_report(stores)
+    assert "stage" in rep
+
+
+def test_param_summary():
+    from climategan_tpu.utils.summary import count_params, param_summary
+
+    params = {"a": {"w": np.zeros((2, 3))}, "b": {"w": np.zeros(5)}}
+    assert count_params(params) == 11
+    s = param_summary(params)
+    assert "total params: 11" in s
+
+
+def test_paint_and_mask_modes():
+    from climategan_tpu.trainer import Trainer
+    from climategan_tpu.utils.testing import tiny_opts
+
+    opts = tiny_opts(image_size=64)
+    t = Trainer(opts)
+    t.G = None
+    # minimal state bootstrap without loaders: reuse builder init
+    from climategan_tpu.train_step import StepBuilder
+    from tests.test_train_step import _batch
+
+    t.builder = StepBuilder(opts)
+    t.state = t.builder.init_state(jax.random.PRNGKey(0), _batch())
+    t.G = t.builder.G
+    t.is_setup = True
+
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 70, 90, 3),
+                           minval=-1, maxval=1)
+    # painter has 5 upsamples in tiny config -> multiple of 32
+    approx = t.paint_and_mask(x, resolution="approx")
+    assert approx.shape[1] % 32 == 0 and approx.shape[2] % 32 == 0
+    exact = t.paint_and_mask(x, resolution="exact")
+    assert exact.shape == (1, 70, 90, 3)
