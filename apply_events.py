@@ -53,8 +53,8 @@ def parse_args():
 
 
 def to_128(n: int, max_width: int = -1) -> int:
-    """Closest multiple of 128 (reference utils.py:998-1007)."""
-    n = max(128, int(round(n / 128)) * 128)
+    """Floor to a multiple of 128 (reference utils.py:998-1007)."""
+    n = max(128, (int(n) // 128) * 128)
     if max_width > 0:
         n = min(n, (max_width // 128) * 128)
     return n

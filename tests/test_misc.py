@@ -110,3 +110,17 @@ def test_paint_and_mask_modes():
     assert approx.shape[1] % 32 == 0 and approx.shape[2] % 32 == 0
     exact = t.paint_and_mask(x, resolution="exact")
     assert exact.shape == (1, 70, 90, 3)
+
+
+def test_apply_events_helpers():
+    from apply_events import to_128, resize_and_crop, uint8_to_m11
+
+    # reference semantics: floor to multiple of 128 (utils.py:998-1007)
+    assert to_128(700) == 640 and to_128(630) == 512 and to_128(100) == 128
+    assert to_128(1500, max_width=1280) == 1280
+
+    img = (np.random.RandomState(0).rand(97, 145, 3) * 255).astype(np.uint8)
+    out = resize_and_crop(img, 64)
+    assert out.shape == (64, 64, 3)
+    m11 = uint8_to_m11(out)
+    assert -1.0 <= m11.min() and m11.max() <= 1.0
