@@ -307,11 +307,16 @@ class Trainer:
             return float("nan")
         x = jnp.concatenate(xs)[:n_images]
         m = jnp.concatenate(ms)[:n_images]
-        g_vars = {"params": self.state.g_params, **self.state.g_state}
+        g_vars = self._eval_g_vars()
         fake = self.G.apply(g_vars, m, x, method="paint")
         ev = FIDEvaluator(
             batch_size=int(self.opts.train.fid.get("batch_size", 50))
         )
+        w = self.opts.get("inception_weights")
+        if w and Path(str(w)).exists():
+            from climategan_tpu.utils.convert import load_inception_weights
+
+            ev.variables = load_inception_weights(str(w), ev.variables)
         ev.set_real(x)
         return ev.fid(fake)
 
