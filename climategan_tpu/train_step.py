@@ -224,6 +224,12 @@ class StepBuilder:
         # pass (jax.checkpoint) — trades FLOPs for HBM, enabling 640^2
         # training batches on a 16GB chip
         self.remat = bool(opts.get("tpu", {}).get("remat", False))
+        # gradient accumulation (greenfield — the reference has none,
+        # SURVEY §2.4): split each domain batch into k micro-batches,
+        # average grads over a lax.scan, one optimizer step
+        self.grad_accumulation = int(
+            opts.train.get("grad_accumulation", 1) or 1
+        )
         self.vgg_variables = vgg_variables
         g_lr_conf = opts.gen.opt.lr
         d_lr_conf = opts.dis.opt.lr
@@ -602,13 +608,48 @@ class StepBuilder:
     # ------------------------------------------------------------------
     # the two jittable steps
     # ------------------------------------------------------------------
+    @staticmethod
+    def _split_micro(batch, k: int):
+        """{domain: {task: (B,...)}} -> list of k micro-batches."""
+        return [
+            jax.tree_util.tree_map(
+                lambda a: a[i * (a.shape[0] // k):(i + 1) * (a.shape[0] // k)],
+                batch,
+            )
+            for i in range(k)
+        ]
+
+    def _accumulate(self, grad_fn, params, batch):
+        """Average (loss, metrics, grads) over grad_accumulation
+        micro-batches (unrolled; k is small and static)."""
+        k = self.grad_accumulation
+        if k <= 1:
+            return grad_fn(params, batch)
+        micros = self._split_micro(batch, k)
+        total_out = None
+        for mb in micros:
+            out = grad_fn(params, mb)
+            if total_out is None:
+                total_out = out
+            else:
+                (l0, (m0, gs0)), g0 = total_out
+                (l1, (m1, gs1)), g1 = out
+                l = l0 + l1
+                m = {kk: m0[kk] + m1[kk] for kk in m0}
+                g = jax.tree_util.tree_map(jnp.add, g0, g1)
+                total_out = ((l, (m, gs1)), g)  # keep last micro's state
+        (l, (m, gs)), g = total_out
+        inv = 1.0 / k
+        return ((l * inv, ({kk: v * inv for kk, v in m.items()}, gs)),
+                jax.tree_util.tree_map(lambda t: t * inv, g))
+
     def g_step(self, state: TrainState, batch: Dict[str, Dict[str, Array]],
                lr_scale) -> Tuple[TrainState, Dict[str, Array]]:
         """update_G: masker losses over r/s + painter loss over rf."""
         rng, new_rng = jax.random.split(state.rng)
         d_vars = _merge_vars(state.d_params, state.d_state)
 
-        def loss_fn(g_params):
+        def loss_fn(g_params, batch):
             total = 0.0
             metrics = {}
             new_gstate = state.g_state
@@ -646,9 +687,9 @@ class StepBuilder:
             metrics["g_total"] = total
             return total, (metrics, new_gstate)
 
-        (loss, (metrics, new_gstate)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.g_params)
+        (loss, (metrics, new_gstate)), grads = self._accumulate(
+            jax.value_and_grad(loss_fn, has_aux=True), state.g_params, batch
+        )
 
         if self.g_lr_rules and self._g_lr_scales is None:
             from climategan_tpu.optim import build_lr_scales
@@ -671,7 +712,7 @@ class StepBuilder:
         rng, new_rng = jax.random.split(state.rng)
         g_vars = _merge_vars(state.g_params, state.g_state)
 
-        def loss_fn(d_params):
+        def loss_fn(d_params, batch):
             d_vars = _merge_vars(d_params, state.d_state)
             total = 0.0
             metrics = {}
@@ -726,9 +767,25 @@ class StepBuilder:
             metrics["d_total"] = total
             return total, metrics
 
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.d_params
-        )
+        k = self.grad_accumulation
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        if k <= 1:
+            (loss, metrics), grads = grad_fn(state.d_params, batch)
+        else:
+            total = None
+            for mb in self._split_micro(batch, k):
+                out = grad_fn(state.d_params, mb)
+                if total is None:
+                    total = out
+                else:
+                    (l0, m0), g0 = total
+                    (l1, m1), g1 = out
+                    total = ((l0 + l1, {kk: m0[kk] + m1[kk] for kk in m0}),
+                             jax.tree_util.tree_map(jnp.add, g0, g1))
+            (loss, metrics), grads = total
+            loss = loss / k
+            metrics = {kk: v / k for kk, v in metrics.items()}
+            grads = jax.tree_util.tree_map(lambda t: t / k, grads)
         if self.d_lr_rules and self._d_lr_scales is None:
             from climategan_tpu.optim import build_lr_scales
 

