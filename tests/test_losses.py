@@ -130,3 +130,57 @@ def test_feat_match_excludes_final():
     want = np.mean(np.abs(np.asarray(real[0][0]) - np.asarray(fake[0][0]))) \
         + np.mean(np.abs(np.asarray(real[0][1]) - np.asarray(fake[0][1])))
     assert abs(got - want) < 1e-5
+
+
+def test_hinge_loss_matches_torch_semantics():
+    rng = np.random.RandomState(8)
+    pred = [[jnp.asarray(rng.randn(2, 4, 4, 1).astype(np.float32))]
+            for _ in range(2)]
+    # discriminator, real: -mean(min(x-1, 0)) per scale, averaged
+    got = float(L.hinge_loss(pred, True, for_discriminator=True))
+    want = np.mean([
+        float(-torch.minimum(torch.from_numpy(np.asarray(p[-1])) - 1,
+                             torch.zeros(1)).mean())
+        for p in pred
+    ])
+    assert abs(got - want) < 1e-6
+    # generator: -mean(x)
+    got_g = float(L.hinge_loss(pred, True, for_discriminator=False))
+    want_g = np.mean([-np.asarray(p[-1]).mean() for p in pred])
+    assert abs(got_g - want_g) < 1e-6
+
+
+def test_context_reconstruction_ground_intersection():
+    rng = np.random.RandomState(9)
+    a = jnp.asarray(rng.randn(1, 4, 4, 3).astype(np.float32))
+    b = jnp.asarray(rng.randn(1, 4, 4, 3).astype(np.float32))
+    m = jnp.asarray((rng.rand(1, 4, 4, 1) > 0.5).astype(np.float32))
+    ctx = float(L.context_loss(a, b, m))
+    rec = float(L.reconstruction_loss(a, b, m))
+    full = float(L.l1_loss(a, b))
+    # context (outside mask) + reconstruction (inside) partition |a-b|
+    assert abs((ctx + rec) - full) < 1e-5
+
+    pred = jnp.asarray(rng.rand(1, 4, 4, 1).astype(np.float32))
+    gt = jnp.asarray((rng.rand(1, 4, 4, 1) > 0.5).astype(np.float32))
+    gi = float(L.ground_intersection_loss(pred, gt))
+    want = float(np.mean((np.asarray(gt) - np.asarray(pred)) > 0.5))
+    assert abs(gi - want) < 1e-6
+
+
+def test_advent_loss_wgan_form():
+    rng = np.random.RandomState(10)
+    prob = jnp.asarray(rng.rand(1, 8, 8, 2).astype(np.float32))
+    prob = prob / prob.sum(-1, keepdims=True)
+
+    captured = {}
+
+    def disc(e):
+        captured["in"] = e
+        return e.mean(axis=-1, keepdims=True)
+
+    loss = float(L.advent_loss(prob, 1.0, disc, "WGAN_norm"))
+    ent = np.asarray(L.entropy_map(prob))
+    np.testing.assert_allclose(np.asarray(captured["in"]), ent, rtol=1e-6)
+    d_out = ent.mean(-1, keepdims=True)
+    assert abs(loss - (-d_out.mean())) < 1e-6
