@@ -74,17 +74,24 @@ def spectral_normalize(
 
 
 class InstanceNorm(nn.Module):
-    """InstanceNorm2d, no affine, no running stats (torch defaults)."""
+    """InstanceNorm2d, no affine, no running stats (torch defaults).
+
+    Stats accumulate in f32 directly from the (possibly bf16) input —
+    no materialized f32 copy, halving the HBM traffic of the stats pass
+    (profiling showed the convert+reduce fusions on the painter's 640^2
+    activations were ~13% of flood inference time).
+    """
 
     epsilon: float = 1e-5
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        xf = x.astype(jnp.float32)
-        mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
-        var = jnp.var(xf, axis=(1, 2), keepdims=True)
-        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
-        return y.astype(x.dtype)
+        mean = jnp.mean(x, axis=(1, 2), keepdims=True, dtype=jnp.float32)
+        diff = x - mean.astype(x.dtype)
+        var = jnp.mean(diff * diff, axis=(1, 2), keepdims=True,
+                       dtype=jnp.float32)
+        scale = jax.lax.rsqrt(var + self.epsilon).astype(x.dtype)
+        return diff * scale
 
 
 class LayerNormRef(nn.Module):
