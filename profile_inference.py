@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Profiling harness: trace the fused inference graph with jax.profiler and
+print an aggregated per-op time table (the TPU answer to the reference's
+CUDA-event Timer stores — SURVEY.md §5).
+
+Usage:
+  python profile_inference.py --batch 24 --events flood --out /tmp/prof
+The raw trace (vm.trace.json.gz / xplane.pb) can be opened in TensorBoard
+or Perfetto; the table below is a quick terminal summary.
+"""
+from __future__ import annotations
+
+import argparse
+import collections
+import glob
+import gzip
+import json
+import sys
+
+
+def summarize(trace_dir: str, top: int = 25):
+    paths = sorted(glob.glob(f"{trace_dir}/plugins/profile/*/*.trace.json.gz"))
+    if not paths:
+        print("no trace found", file=sys.stderr)
+        return
+    with gzip.open(paths[-1]) as f:
+        trace = json.load(f)
+    agg = collections.Counter()
+    for e in trace.get("traceEvents", []):
+        if e.get("ph") == "X" and "dur" in e:
+            name = e.get("name", "?")
+            if name.startswith(("$", "np.", "jit_", "Pjit")):
+                continue  # host-side / envelope events
+            agg[name] += e["dur"]
+    print(f"\ntop {top} device ops by total time:")
+    for name, dur in agg.most_common(top):
+        print(f"{dur / 1e3:10.2f} ms  {name[:100]}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=24)
+    ap.add_argument("--size", type=int, default=640)
+    ap.add_argument("--events", choices=["flood", "all"], default="flood")
+    ap.add_argument("--iters", type=int, default=2)
+    ap.add_argument("--out", default="/tmp/climategan_prof")
+    ap.add_argument("--top", type=int, default=25)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
+
+    from climategan_tpu.inference import build_infer_fn
+    from climategan_tpu.utils.bn_fold import bake_spectral_norm
+    from climategan_tpu.utils.opts import load_opts
+
+    opts = load_opts()
+    ignore = ("wildfire", "smog") if args.events == "flood" else ()
+    G, infer = build_infer_fn(opts, dtype=jnp.bfloat16, ignore_event=ignore,
+                              donate=False, freeze_spectral=True)
+    rng = jax.random.PRNGKey(0)
+    variables = bake_spectral_norm(
+        jax.jit(G.init)(rng, jnp.zeros((1, args.size, args.size, 3)))
+    )
+    x = jax.random.uniform(rng, (args.batch, args.size, args.size, 3),
+                           minval=-1, maxval=1)
+    out = infer(variables, x, rng)
+    np.asarray(out["flood"][0, 0, 0])  # warm / compile
+
+    with jax.profiler.trace(args.out):
+        for _ in range(args.iters):
+            out = infer(variables, x, rng)
+            np.asarray(out["flood"][0, 0, 0])
+    print(f"trace written to {args.out}")
+    summarize(args.out, args.top)
+
+
+if __name__ == "__main__":
+    main()
