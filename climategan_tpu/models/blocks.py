@@ -249,22 +249,40 @@ class SPADEResnetBlock(nn.Module):
         def act(v):
             return nn.leaky_relu(v, negative_slope=0.2)
 
-        if learned_shortcut:
-            x_s = SPADE(
-                self.param_free_norm, self.kernel_size, self.fin, self.cond_nc,
-                name="norm_s",
-            )(x, seg, train=train, update_sn=update_sn)
+        if learned_shortcut and self.param_free_norm == "instance":
+            # norm_s and norm_0 read the same (x, seg): run them jointly
+            # with batched MXU calls (models/norms.dual_spade; exact math,
+            # checkpoint paths preserved via SPADEParamSet)
+            from climategan_tpu.models.norms import SPADEParamSet, dual_spade
+
+            params_s = SPADEParamSet(
+                self.kernel_size, self.fin, self.cond_nc, name="norm_s",
+            )()
+            params_0 = SPADEParamSet(
+                self.kernel_size, self.fin, self.cond_nc, name="norm_0",
+            )()
+            x_s, dx = dual_spade(x, seg, params_s, params_0,
+                                 self.fin, self.kernel_size)
             x_s = SNConv(
                 self.fout, (1, 1), use_bias=False,
                 spectral=self.use_spectral_norm, name="conv_s",
             )(x_s, update_sn=update_sn)
         else:
-            x_s = x
-
-        dx = SPADE(
-            self.param_free_norm, self.kernel_size, self.fin, self.cond_nc,
-            name="norm_0",
-        )(x, seg, train=train, update_sn=update_sn)
+            if learned_shortcut:
+                x_s = SPADE(
+                    self.param_free_norm, self.kernel_size, self.fin,
+                    self.cond_nc, name="norm_s",
+                )(x, seg, train=train, update_sn=update_sn)
+                x_s = SNConv(
+                    self.fout, (1, 1), use_bias=False,
+                    spectral=self.use_spectral_norm, name="conv_s",
+                )(x_s, update_sn=update_sn)
+            else:
+                x_s = x
+            dx = SPADE(
+                self.param_free_norm, self.kernel_size, self.fin,
+                self.cond_nc, name="norm_0",
+            )(x, seg, train=train, update_sn=update_sn)
         dx = SNConv(
             fmiddle, (3, 3), padding=(1, 1),
             spectral=self.use_spectral_norm, name="conv_0",

@@ -243,6 +243,81 @@ class ConvParams(nn.Module):
         return k, b
 
 
+class SPADEParamSet(nn.Module):
+    """Param container matching SPADE's checkpoint layout
+    (mlp_shared/mlp_gamma/mlp_beta kernels+biases) without executing —
+    used by DualSPADE to run two SPADEs' convs as batched MXU calls."""
+
+    kernel_size: int
+    norm_nc: int
+    cond_nc: int
+    nhidden: int = 128
+
+    @nn.compact
+    def __call__(self):
+        ks = (self.kernel_size, self.kernel_size)
+        shared = ConvParams(self.nhidden, ks, self.cond_nc,
+                            name="mlp_shared")()
+        gamma = ConvParams(self.norm_nc, ks, self.nhidden, name="mlp_gamma")()
+        beta = ConvParams(self.norm_nc, ks, self.nhidden, name="mlp_beta")()
+        return shared, gamma, beta
+
+
+def dual_spade(x, segmap, params_a, params_b, norm_nc: int,
+               kernel_size: int):
+    """Two instance-norm SPADEs over the SAME (x, segmap) executed jointly
+    (the SRB's parallel norm_s/norm_0 pair): the param-free instance norm
+    runs once, the two mlp_shared convs run as one output-concat conv, and
+    the four gamma/beta convs run as one grouped conv — exact math, one
+    third the MXU launches and far less output-channel padding at the
+    painter's small norm_nc. params_{a,b}: SPADEParamSet() results."""
+    (sk_a, sb_a), (gk_a, gb_a), (bk_a, bb_a) = params_a
+    (sk_b, sb_b), (gk_b, gb_b), (bk_b, bb_b) = params_b
+
+    normalized = _instance_norm(x)
+    pw = kernel_size // 2
+    pad = [(pw, pw), (pw, pw)]
+    seg = resize(segmap, (x.shape[1], x.shape[2]), mode="nearest")
+
+    dt = x.dtype
+    # one conv for both mlp_shared branches (same input)
+    sk = jnp.concatenate([sk_a, sk_b], axis=-1).astype(dt)
+    sb = jnp.concatenate([sb_a, sb_b]).astype(dt)
+    actv = jax.lax.conv_general_dilated(
+        seg.astype(dt), sk, (1, 1), pad,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=dt,
+    ) + sb
+    actv = nn.relu(actv)
+
+    # grouped conv: group a reads actv[:nhidden] -> (gamma_a|beta_a),
+    # group b reads actv[nhidden:] -> (gamma_b|beta_b)
+    ga = jnp.concatenate([gk_a, bk_a], axis=-1)
+    gb = jnp.concatenate([gk_b, bk_b], axis=-1)
+    kernel = jnp.concatenate([ga, gb], axis=-1).astype(dt)
+    bias = jnp.concatenate([gb_a, bb_a, gb_b, bb_b]).astype(dt)
+    out = jax.lax.conv_general_dilated(
+        actv, kernel, (1, 1), pad,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=2,
+        preferred_element_type=dt,
+    ) + bias
+    nc = norm_nc
+    gamma_a, beta_a = out[..., :nc], out[..., nc:2 * nc]
+    gamma_b, beta_b = out[..., 2 * nc:3 * nc], out[..., 3 * nc:]
+
+    return (normalized * (1.0 + gamma_a) + beta_a,
+            normalized * (1.0 + gamma_b) + beta_b)
+
+
+def _instance_norm(x, epsilon: float = 1e-5):
+    mean = jnp.mean(x, axis=(1, 2), keepdims=True, dtype=jnp.float32)
+    diff = x - mean.astype(x.dtype)
+    var = jnp.mean(diff * diff, axis=(1, 2), keepdims=True,
+                   dtype=jnp.float32)
+    return diff * jax.lax.rsqrt(var + epsilon).astype(x.dtype)
+
+
 class SPADE(nn.Module):
     """Spatially-adaptive (de)normalization (climategan/norms.py:146-186).
 
