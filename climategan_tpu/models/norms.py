@@ -292,7 +292,7 @@ def dual_spade(x, segmap, params_a, params_b, norm_nc: int,
 
     # per-branch gamma|beta convs (dense; grouped convs lower poorly on
     # the MXU — measured 10% slower end-to-end)
-    nhidden = sk_a.shape[2]
+    nhidden = sk_a.shape[3]  # HWIO output features of branch a's shared conv
     actv_a = actv[..., :nhidden]
     actv_b = actv[..., nhidden:]
     nc = norm_nc
