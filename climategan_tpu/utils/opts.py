@@ -53,6 +53,10 @@ class Opts(dict):
         super().__setitem__(key, value)
 
     def __getattr__(self, key):
+        if key.startswith("__") and key.endswith("__"):
+            # protocol lookups (__deepcopy__, __getstate__, ...) must fail
+            # honestly or copy/pickle machinery misfires
+            raise AttributeError(key)
         try:
             return self[key]
         except KeyError:

@@ -124,3 +124,51 @@ def test_apply_events_helpers():
     assert out.shape == (64, 64, 3)
     m11 = uint8_to_m11(out)
     assert -1.0 <= m11.min() and m11.max() <= 1.0
+
+
+def test_perlin_noise_statistics():
+    from climategan_tpu.ops.perlin import mix_noise, rand_perlin_2d
+
+    key = jax.random.PRNGKey(0)
+    noise = np.asarray(rand_perlin_2d(key, (64, 64), (8, 8)))
+    assert noise.shape == (64, 64)
+    # perlin is zero-mean-ish and bounded by ~sqrt(2)/2 * sqrt(2)
+    assert abs(noise.mean()) < 0.2
+    assert np.abs(noise).max() <= 1.5
+
+    x = jnp.zeros((1, 64, 64, 3))
+    mask = jnp.ones((1, 64, 64))
+    y = np.asarray(mix_noise(key, x, mask, res=(8, 8), weight=1.0))
+    # with weight 1 and full mask, output == min-shifted noise (>= 0)
+    assert y.min() >= 0.0 and y.std() > 0.01
+
+
+def test_opts_copy_and_to_dict():
+    from climategan_tpu.utils.opts import Opts
+
+    o = Opts({"a": {"b": [1, {"c": 2}]}})
+    d = o.to_dict()
+    assert isinstance(d["a"], dict) and d["a"]["b"][1]["c"] == 2
+    o2 = o.copy()
+    o2.a.b = 5
+    assert o.a.b != 5  # deep copy
+
+
+def test_snconv_grouped():
+    from climategan_tpu.models.norms import SNConv
+
+    x = jnp.ones((1, 8, 8, 8))
+    m = SNConv(8, (3, 3), padding=(1, 1), groups=8)  # depthwise
+    v = m.init(jax.random.PRNGKey(0), x)
+    assert v["params"]["kernel"].shape == (3, 3, 1, 8)
+    y = m.apply(v, x)
+    assert y.shape == (1, 8, 8, 8)
+
+
+def test_upsample_nearest_factors():
+    from climategan_tpu.ops.interpolate import upsample_nearest
+
+    x = jnp.arange(6, dtype=jnp.float32).reshape(1, 2, 3, 1)
+    y = np.asarray(upsample_nearest(x, 3, 2))
+    assert y.shape == (1, 6, 6, 1)
+    assert (y[0, :3, :2, 0] == 0).all()  # top-left block replicated
