@@ -204,6 +204,11 @@ def sigm_loss(pred: Array, target: Array, gmweight: float = 0.5,
             w = int(R.shape[2] * (1 / 2 ** k))
             Rk = resize(R, (h, w), mode="nearest")
         gm += jnp.sum(jnp.abs(_sobel(Rk, _SOBEL_X)) + jnp.abs(_sobel(Rk, _SOBEL_Y)))
+    # the reference expands each Sobel kernel to batch_size identical output
+    # channels (losses.py:264-271), so its gradient term is summed
+    # batch_size times — reproduced exactly (verified against
+    # climategan.losses.SIGMLoss in tests/test_reference_parity.py)
+    gm = gm * pred.shape[0]
     return 0.5 / num_pix * jnp.sum(jnp.abs(R)) + gmweight / num_pix * gm
 
 

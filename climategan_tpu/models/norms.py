@@ -86,12 +86,7 @@ class InstanceNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        mean = jnp.mean(x, axis=(1, 2), keepdims=True, dtype=jnp.float32)
-        diff = x - mean.astype(x.dtype)
-        var = jnp.mean(diff * diff, axis=(1, 2), keepdims=True,
-                       dtype=jnp.float32)
-        scale = jax.lax.rsqrt(var + self.epsilon).astype(x.dtype)
-        return diff * scale
+        return _instance_norm(x, self.epsilon)
 
 
 class LayerNormRef(nn.Module):
@@ -268,9 +263,11 @@ def dual_spade(x, segmap, params_a, params_b, norm_nc: int,
     """Two instance-norm SPADEs over the SAME (x, segmap) executed jointly
     (the SRB's parallel norm_s/norm_0 pair): the param-free instance norm
     runs once, the two mlp_shared convs run as one output-concat conv, and
-    the four gamma/beta convs run as one grouped conv — exact math, one
-    third the MXU launches and far less output-channel padding at the
-    painter's small norm_nc. params_{a,b}: SPADEParamSet() results."""
+    each branch's gamma/beta convs run as one dense output-concat conv
+    (grouped convs lower poorly on the MXU — measured 10% slower end-to-end,
+    commit 3b30510). Exact math, fewer MXU launches and far less
+    output-channel padding at the painter's small norm_nc.
+    params_{a,b}: SPADEParamSet() results."""
     (sk_a, sb_a), (gk_a, gb_a), (bk_a, bb_a) = params_a
     (sk_b, sb_b), (gk_b, gb_b), (bk_b, bb_b) = params_b
 

@@ -131,6 +131,154 @@ def adam_step(grads, state: AdamState, params, lr, lr_scales=None,
 
 
 # --------------------------------------------------------------------------
+# Optimizer menu (reference optim.py:109-123 selects ExtraAdam / NovoGrad /
+# RAdam / RMSprop / Adam by opt_conf.optimizer.lower())
+# --------------------------------------------------------------------------
+
+
+def rmsprop_step(grads, state: AdamState, params, lr, lr_scales=None,
+                 alpha=0.99, eps=1e-8):
+    """torch.optim.RMSprop defaults (no momentum, no centering):
+    v = alpha*v + (1-alpha)*g^2 ; p -= lr * g / (sqrt(v) + eps).
+    Carries AdamState (mu unused) so TrainState's pytree structure is
+    identical across optimizer choices."""
+    def upd(g, v, p, scale):
+        g = g.astype(jnp.float32)
+        v_new = alpha * v + (1.0 - alpha) * g * g
+        p_new = (p - (lr * scale) * g / (jnp.sqrt(v_new) + eps)).astype(p.dtype)
+        return p_new, v_new
+
+    leaves_g, treedef = jax.tree_util.tree_flatten(grads)
+    leaves_v = treedef.flatten_up_to(state.nu)
+    leaves_p = treedef.flatten_up_to(params)
+    leaves_sc = ([1.0] * len(leaves_g) if lr_scales is None
+                 else treedef.flatten_up_to(lr_scales))
+    out = [upd(*t) for t in zip(leaves_g, leaves_v, leaves_p, leaves_sc)]
+    return (treedef.unflatten([o[0] for o in out]),
+            AdamState(state.count + 1, state.mu,
+                      treedef.unflatten([o[1] for o in out])))
+
+
+def radam_step(grads, state: AdamState, params, lr, lr_scales=None,
+               b1=0.9, b2=0.999, eps=1e-8):
+    """RAdam (Liu et al. 2020; the torch_optimizer.RAdam the reference
+    selects, optim.py:116-118): rectified adaptive step when the SMA length
+    exceeds 4, plain bias-corrected SGD-momentum step otherwise."""
+    count = state.count + 1
+    t = count.astype(jnp.float32)
+    b2t = b2 ** t
+    rho_inf = 2.0 / (1.0 - b2) - 1.0
+    rho_t = rho_inf - 2.0 * t * b2t / (1.0 - b2t)
+    rect = jnp.sqrt(
+        jnp.maximum((rho_t - 4.0) * (rho_t - 2.0) * rho_inf, 0.0)
+        / jnp.maximum((rho_inf - 4.0) * (rho_inf - 2.0) * rho_t, 1e-12)
+    )
+    bc1 = 1.0 - b1 ** t
+    use_rect = rho_t > 4.0
+    # adaptive: lr * rect * sqrt(1-b2^t)/bc1 * m / (sqrt(v)+eps)
+    # plain:    lr / bc1 * m
+    adapt_scale = rect * jnp.sqrt(1.0 - b2t) / bc1
+    plain_scale = 1.0 / bc1
+
+    def upd(g, m, v, p, scale):
+        g = g.astype(jnp.float32)
+        m_new = b1 * m + (1.0 - b1) * g
+        v_new = b2 * v + (1.0 - b2) * g * g
+        adapt = adapt_scale * m_new / (jnp.sqrt(v_new) + eps)
+        plain = plain_scale * m_new
+        p_new = (p - (lr * scale) * jnp.where(use_rect, adapt, plain)
+                 ).astype(p.dtype)
+        return p_new, m_new, v_new
+
+    leaves_g, treedef = jax.tree_util.tree_flatten(grads)
+    leaves_m = treedef.flatten_up_to(state.mu)
+    leaves_v = treedef.flatten_up_to(state.nu)
+    leaves_p = treedef.flatten_up_to(params)
+    leaves_sc = ([1.0] * len(leaves_g) if lr_scales is None
+                 else treedef.flatten_up_to(lr_scales))
+    out = [upd(*t) for t in zip(leaves_g, leaves_m, leaves_v, leaves_p,
+                                leaves_sc)]
+    return (treedef.unflatten([o[0] for o in out]),
+            AdamState(count,
+                      treedef.unflatten([o[1] for o in out]),
+                      treedef.unflatten([o[2] for o in out])))
+
+
+def novograd_step(grads, state: AdamState, params, lr, lr_scales=None,
+                  b1=0.9, b2=0.0, eps=1e-8):
+    """NovoGrad (Ginsburg et al. 2019; torch_optimizer.NovoGrad with the
+    reference's betas=(beta1, 0) — optim.py:113-115): per-tensor scalar
+    second moment, layer-normalized first moment, no grad averaging."""
+    count = state.count + 1
+
+    def upd(g, m, v, p, scale):
+        g = g.astype(jnp.float32)
+        g2 = jnp.sum(g * g)
+        v_new = jnp.where(state.count == 0, g2, b2 * v + (1.0 - b2) * g2)
+        gn = g / (jnp.sqrt(v_new) + eps)
+        m_new = jnp.where(state.count == 0, gn, b1 * m + gn)
+        p_new = (p - (lr * scale) * m_new).astype(p.dtype)
+        return p_new, m_new, v_new
+
+    leaves_g, treedef = jax.tree_util.tree_flatten(grads)
+    leaves_m = treedef.flatten_up_to(state.mu)
+    leaves_v = treedef.flatten_up_to(state.nu)
+    leaves_p = treedef.flatten_up_to(params)
+    leaves_sc = ([1.0] * len(leaves_g) if lr_scales is None
+                 else treedef.flatten_up_to(lr_scales))
+    out = [upd(*t) for t in zip(leaves_g, leaves_m, leaves_v, leaves_p,
+                                leaves_sc)]
+    return (treedef.unflatten([o[0] for o in out]),
+            AdamState(count,
+                      treedef.unflatten([o[1] for o in out]),
+                      treedef.unflatten([o[2] for o in out])))
+
+
+def init_novograd(params: PyTree) -> AdamState:
+    """NovoGrad state: scalar per-tensor second moments."""
+    return AdamState(
+        jnp.zeros((), jnp.int32),
+        jax.tree_util.tree_map(jnp.zeros_like, params),
+        jax.tree_util.tree_map(lambda p: jnp.zeros((), jnp.float32), params),
+    )
+
+
+def make_optimizer(name: str, b1: float = 0.9):
+    """Reference optimizer selection (optim.py:109-123): ``name.lower()`` in
+    {extraadam, novograd, radam, rmsprop}; anything else -> Adam. Returns
+    ``(init_fn, step_fn)`` where ``step_fn(grads, state, params, lr,
+    extrapolate, lr_scales)`` has a uniform signature (``extrapolate`` is
+    only meaningful for ExtraAdam)."""
+    n = (name or "extraadam").lower()
+    if n == "extraadam":
+        def step(grads, state, params, lr, extrapolate, lr_scales=None):
+            return extra_adam_step(grads, state, params, lr=lr,
+                                   extrapolate=extrapolate,
+                                   lr_scales=lr_scales, b1=b1)
+        return init_extra_adam, step
+    if n == "novograd":
+        def step(grads, state, params, lr, extrapolate, lr_scales=None):
+            return novograd_step(grads, state, params, lr=lr,
+                                 lr_scales=lr_scales, b1=b1, b2=0.0)
+        return init_novograd, step
+    if n == "radam":
+        def step(grads, state, params, lr, extrapolate, lr_scales=None):
+            return radam_step(grads, state, params, lr=lr,
+                              lr_scales=lr_scales, b1=b1)
+        return init_adam, step
+    if n == "rmsprop":
+        def step(grads, state, params, lr, extrapolate, lr_scales=None):
+            return rmsprop_step(grads, state, params, lr=lr,
+                                lr_scales=lr_scales)
+        return init_adam, step  # RMSprop ignores mu; AdamState keeps
+        # the TrainState pytree structure stable across optimizer choices
+    def step(grads, state, params, lr, extrapolate, lr_scales=None):
+        return adam_step(grads, state, params, lr=lr, lr_scales=lr_scales,
+                         b1=b1)
+    return init_adam, step
+
+
+# --------------------------------------------------------------------------
 # LR schedules (functions of epoch, reference optim.py:10-51)
 # --------------------------------------------------------------------------
 

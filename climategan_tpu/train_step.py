@@ -31,7 +31,6 @@ from climategan_tpu import losses as L
 from climategan_tpu.models.discriminator import create_discriminator
 from climategan_tpu.models.generator import create_generator
 from climategan_tpu.ops.interpolate import resize
-from climategan_tpu.optim import ExtraAdamState, extra_adam_step, init_extra_adam
 
 Array = jax.Array
 
@@ -89,6 +88,8 @@ class TrainConfig:
     ent_main: float = 0.5
     ent_var: float = 0.1
     # flags
+    d_loss: str = "sigm"  # sigm | dada (reference losses.py:398-405)
+    d_classify: bool = False  # depth bucket classification -> cross-entropy
     s_use_advent: bool = True
     s_use_dada: bool = True
     s_use_minent: bool = True
@@ -145,6 +146,9 @@ class TrainConfig:
             adv_main=float(lam.advent.adv_main),
             ent_main=float(lam.advent.ent_main),
             ent_var=float(lam.advent.ent_var),
+            d_loss=opts.gen.d.get("loss", "sigm"),
+            d_classify=bool(opts.gen.d.get("classify", {}).get("enable",
+                                                               False)),
             s_use_advent=bool(opts.gen.s.get("use_advent", True)),
             s_use_dada=bool(opts.gen.s.get("use_dada", True)),
             s_use_minent=bool(opts.gen.s.get("use_minent", True)),
@@ -197,8 +201,8 @@ class TrainState(NamedTuple):
     g_state: Any       # batch_stats + spectral collections of G
     d_params: Any
     d_state: Any       # spectral collection of D
-    g_opt: ExtraAdamState
-    d_opt: ExtraAdamState
+    g_opt: Any         # ExtraAdamState | AdamState (per opts.*.opt.optimizer)
+    d_opt: Any
     step: Array        # global step (int32)
     rng: Array
 
@@ -208,9 +212,16 @@ def _merge_vars(params, state):
 
 
 def _split_vars(variables):
-    params = variables["params"]
+    # a config may build no discriminators at all (e.g. masker-only without
+    # ADVENT) — init then yields no "params" collection
+    params = variables.get("params", {})
     state = {k: v for k, v in variables.items() if k != "params"}
     return params, state
+
+
+def _state_of(variables):
+    """Non-param collections of a variables dict."""
+    return {k: v for k, v in variables.items() if k != "params"}
 
 
 class StepBuilder:
@@ -239,6 +250,15 @@ class StepBuilder:
             if isinstance(d_lr_conf, dict) else float(d_lr_conf)
         self.g_b1 = float(opts.gen.opt.get("beta1", 0.9))
         self.d_b1 = float(opts.dis.opt.get("beta1", 0.5))
+        # optimizer menu (reference optim.py:109-123)
+        from climategan_tpu.optim import make_optimizer
+
+        self.g_opt_init, self.g_opt_step = make_optimizer(
+            opts.gen.opt.get("optimizer", "ExtraAdam"), self.g_b1
+        )
+        self.d_opt_init, self.d_opt_step = make_optimizer(
+            opts.dis.opt.get("optimizer", "ExtraAdam"), self.d_b1
+        )
         # per-task LR groups (reference optim.py:54-123): map param-path
         # prefixes to lr multipliers relative to the default lr
         self.g_lr_rules = {}
@@ -284,8 +304,8 @@ class StepBuilder:
             g_state=g_state,
             d_params=d_params,
             d_state=d_state,
-            g_opt=init_extra_adam(g_params),
-            d_opt=init_extra_adam(d_params),
+            g_opt=self.g_opt_init(g_params),
+            d_opt=self.d_opt_init(d_params),
             step=jnp.zeros((), jnp.int32),
             rng=rng,
         )
@@ -294,8 +314,18 @@ class StepBuilder:
     # loss pieces (mirror reference masker_*_loss / painter losses)
     # ------------------------------------------------------------------
     def _masker_losses(self, g_vars, d_vars, batch, domain, for_, rng,
-                       mutable, eval_mode: bool = False):
-        """Masker losses for one domain batch. Returns (loss, aux, new_gstate)."""
+                       mutable, eval_mode: bool = False,
+                       d_mutable: bool = False):
+        """Masker losses for one domain batch.
+
+        Returns ``(loss, metrics, new_gstate, new_dstate)``. State threading
+        matches the reference, where G stays in train mode during BOTH
+        update_G and update_D (BatchNorm running stats and SpectralNorm u/v
+        update on every train-mode forward — reference norms.py:100-112,
+        trainer.py:989-1032): each mutable apply here starts from the latest
+        collections and feeds the next. ``new_gstate``/``new_dstate`` are
+        None when the corresponding net is applied read-only.
+        """
         cfg = self.cfg
         G, D = self.G, self.D
         x = batch["x"]
@@ -303,46 +333,74 @@ class StepBuilder:
             x = x.astype(jnp.bfloat16)
         metrics = {}
 
+        gv = dict(g_vars)
+        dv = dict(d_vars)
+        train_flag = not eval_mode
+
         def gapply(method, *args, **kw):
-            rngs = {"dropout": rng} if for_ == "G" else None
+            rngs = {"dropout": rng} if train_flag else None
             if mutable:
                 out, new_state = G.apply(
-                    g_vars, *args, method=method,
+                    gv, *args, method=method,
                     mutable=["batch_stats", "spectral"],
                     rngs=rngs,
                     **kw,
                 )
-                return out, new_state
-            return G.apply(g_vars, *args, method=method, rngs=rngs, **kw), None
+                gv.update(new_state)
+                return out
+            return G.apply(gv, *args, method=method, rngs=rngs, **kw)
 
-        train_flag = for_ == "G" and not eval_mode
+        def dapply(method, inp):
+            if d_mutable:
+                out, new_state = D.apply(
+                    dv, inp, method=method, update_sn=True,
+                    mutable=["spectral"],
+                )
+                dv.update(new_state)
+                return out
+            return D.apply(dv, inp, method=method)
+
         # one shared encoder forward for all heads
-        z, gs1 = gapply("encode", x, train=train_flag)
+        z = gapply("encode", x, train=train_flag)
 
         total = 0.0
         d_pred = s_pred = z_depth = None
 
         if "d" in cfg.tasks:
-            (d_pred, z_depth), _ = gapply(
+            d_pred, z_depth = gapply(
                 "depth", z, train=train_flag, update_sn=train_flag and mutable
             )
 
         # ---- depth loss (sim only unless pseudo-labels are enabled;
-        # reference masker_d_loss :1389-1407)
+        # reference masker_d_loss :1389-1407). Criterion selection mirrors
+        # reference get_losses (losses.py:398-405): bucket classification
+        # -> CrossEntropy; gen.d.loss == "dada" -> berHu; else SIGM.
         if for_ == "G" and "d" in batch and "d" in cfg.tasks:
             if ((domain == "s" or "d" in cfg.pseudo_tasks)
                     and cfg.lam_d_main != 0):
-                dl = L.sigm_loss(
-                    d_pred.astype(jnp.float32),
-                    batch["d"].astype(jnp.float32),
-                    gmweight=cfg.lam_d_gml,
-                ) * cfg.lam_d_main
+                pred_f32 = d_pred.astype(jnp.float32)
+                if cfg.d_classify:
+                    target = batch["d"]
+                    if target.ndim == 4:  # NHW1 bucket indices -> NHW
+                        target = target[..., 0]
+                    dl = L.cross_entropy(pred_f32, target.astype(jnp.int32))
+                elif cfg.d_loss == "dada":
+                    dl = L.dada_depth_loss(
+                        pred_f32, batch["d"].astype(jnp.float32)
+                    )
+                else:
+                    dl = L.sigm_loss(
+                        pred_f32,
+                        batch["d"].astype(jnp.float32),
+                        gmweight=cfg.lam_d_gml,
+                    )
+                dl = dl * cfg.lam_d_main
                 total += dl
                 metrics[f"d_{domain}"] = dl
 
         # ---- segmentation losses (reference masker_s_loss :1409-1504)
         if "s" in cfg.tasks and ("s" in batch or for_ == "D"):
-            s_pred, _ = gapply("segmentation", z, z_depth, train=train_flag)
+            s_pred = gapply("segmentation", z, z_depth, train=train_flag)
             softmax_s = jax.nn.softmax(s_pred.astype(jnp.float32), axis=-1)
             if for_ == "G":
                 if "s" in batch and (domain == "s" or "s" in cfg.pseudo_tasks):
@@ -370,8 +428,8 @@ class StepBuilder:
                     weight = cfg.lam_s_advent
                     sm = softmax_s
                 if (for_ == "D" or domain == "r") and weight != 0:
-                    disc_fn = lambda e: D.apply(  # noqa: E731
-                        d_vars, e.astype(jnp.float32), method="disc_s",
+                    disc_fn = lambda e: dapply(  # noqa: E731
+                        "disc_s", e.astype(jnp.float32),
                     )
                     al = L.advent_loss(
                         sm, label, disc_fn, cfg.s_gan_type, dp
@@ -379,7 +437,13 @@ class StepBuilder:
                     total += al
                     metrics[f"s_advent_{for_}_{domain}"] = al
                     if for_ == "D" and cfg.s_gan_type == "WGAN_gp":
-                        gp = _wgan_gp(disc_fn, jax.lax.stop_gradient(
+                        # gp differentiates the disc wrt its input; use a
+                        # read-only apply (a mutating one would leak inner-
+                        # trace tracers into dv)
+                        pure_fn = lambda e: D.apply(  # noqa: E731
+                            dict(dv), e.astype(jnp.float32), method="disc_s",
+                        )
+                        gp = _wgan_gp(pure_fn, jax.lax.stop_gradient(
                             s_pred.astype(jnp.float32)))
                         total += gp * cfg.wgan_gp_lambda
                         metrics[f"s_gp_{domain}"] = gp
@@ -392,9 +456,9 @@ class StepBuilder:
                 if for_ == "D" or cfg.m_spade_detach:
                     d_c = jax.lax.stop_gradient(d_c)
                     s_c = jax.lax.stop_gradient(s_c)
-                cond = G.apply(g_vars, d_c, s_c, x, method="make_m_cond")
+                cond = G.apply(gv, d_c, s_c, x, method="make_m_cond")
             zd = z_depth if cfg.m_use_dada else None
-            logits, _ = gapply(
+            logits = gapply(
                 "mask_logits", z, cond, zd,
                 train=train_flag, update_sn=train_flag and mutable,
             )
@@ -450,8 +514,8 @@ class StepBuilder:
                     weight = cfg.adv_main
                     pr = prob
                 if (for_ == "D" or domain == "r") and weight != 0:
-                    disc_fn = lambda e: D.apply(  # noqa: E731
-                        d_vars, e.astype(jnp.float32), method="disc_m",
+                    disc_fn = lambda e: dapply(  # noqa: E731
+                        "disc_m", e.astype(jnp.float32),
                     )
                     al = L.advent_loss(
                         pr, label, disc_fn, cfg.m_gan_type, dp
@@ -459,11 +523,16 @@ class StepBuilder:
                     total += al
                     metrics[f"m_advent_{for_}_{domain}"] = al
                     if for_ == "D" and cfg.m_gan_type == "WGAN_gp":
-                        gp = _wgan_gp(disc_fn, jax.lax.stop_gradient(prob))
+                        pure_fn = lambda e: D.apply(  # noqa: E731
+                            dict(dv), e.astype(jnp.float32), method="disc_m",
+                        )
+                        gp = _wgan_gp(pure_fn, jax.lax.stop_gradient(prob))
                         total += gp * cfg.wgan_gp_lambda
                         metrics[f"m_gp_{domain}"] = gp
 
-        return total, metrics, gs1
+        new_gstate = _state_of(gv) if mutable else None
+        new_dstate = _state_of(dv) if d_mutable else None
+        return total, metrics, new_gstate, new_dstate
 
     def _diff_aug(self, rng, x):
         """DiffAugment before the painter D (reference trainer.py:1075-1078,
@@ -481,12 +550,22 @@ class StepBuilder:
         })
         return dt(rng, x)
 
-    def _paint(self, g_vars, x, m, rng):
+    def _paint(self, g_vars, x, m, rng, update_sn=False):
+        """Painter forward. With ``update_sn`` the painter's spectral u/v
+        power-iteration state advances (reference norms.py:100-112 runs it
+        on every train-mode forward); returns (fake, new_state|None)."""
+        if update_sn:
+            return self.G.apply(
+                g_vars, m, x,
+                rng=None if self.G.cfg.p_no_z else rng,
+                method="paint", train=True, update_sn=True,
+                mutable=["batch_stats", "spectral"],
+            )
         return self.G.apply(
             g_vars, m, x,
             rng=None if self.G.cfg.p_no_z else rng,
             method="paint",
-        )
+        ), None
 
     def _disc_p(self, d_vars, inp, update_sn=False):
         if update_sn:
@@ -515,7 +594,9 @@ class StepBuilder:
             frozen["params"]["painter"] = jax.lax.stop_gradient(
                 frozen["params"]["painter"]
             )
-        fake = self._paint(frozen, x, m, rng)
+        # no update_sn: the painter is frozen here (its u/v advance in the
+        # unfrozen painter path when the p task trains)
+        fake, _ = self._paint(frozen, x, m, rng)
         if self.cfg.p_use_local:
             fdg = self.D.apply(d_vars, fake, method="disc_p_global")
             fdl = self.D.apply(d_vars, fake * m, method="disc_p_local")
@@ -529,8 +610,13 @@ class StepBuilder:
         _, fake_d = divide_pred(pred)
         return self._p_gan_loss(fake_d, True, rng, for_discriminator=False)
 
-    def _painter_losses(self, g_vars, d_vars, batch, rng):
-        """Painter G losses on the rf domain (reference :1256-1387)."""
+    def _painter_losses(self, g_vars, d_vars, batch, rng,
+                        mutable: bool = False, d_mutable: bool = False):
+        """Painter G losses on the rf domain (reference :1256-1387).
+
+        Returns ``(total, metrics, new_gstate, new_dstate)`` — the painter's
+        spectral u/v advance when ``mutable``, the painter D's when
+        ``d_mutable`` (None otherwise)."""
         cfg = self.cfg
         cdtype = jnp.bfloat16 if cfg.bf16 else jnp.float32
         x = batch["x"].astype(cdtype)
@@ -538,7 +624,22 @@ class StepBuilder:
         metrics = {}
         total = 0.0
 
-        fake = self._paint(g_vars, x, m, rng)
+        gv = dict(g_vars)
+        dv = dict(d_vars)
+
+        def dapply(method, inp):
+            if d_mutable:
+                out, new_state = self.D.apply(
+                    dv, inp, method=method, update_sn=True,
+                    mutable=["spectral"],
+                )
+                dv.update(new_state)
+                return out
+            return self.D.apply(dv, inp, method=method)
+
+        fake, pstate = self._paint(gv, x, m, rng, update_sn=mutable)
+        if pstate is not None:
+            gv.update(pstate)
         # losses accumulate in f32
         x = x.astype(jnp.float32)
         m = m.astype(jnp.float32)
@@ -573,9 +674,9 @@ class StepBuilder:
         if cfg.p_use_local:
             # global on full images + local on masked regions
             # (reference trainer.py:1324-1356)
-            fake_d_g = self.D.apply(d_vars, fake, method="disc_p_global")
-            fake_d_l = self.D.apply(d_vars, fake * m, method="disc_p_local")
-            real_d_g = self.D.apply(d_vars, x, method="disc_p_global")
+            fake_d_g = dapply("disc_p_global", fake)
+            fake_d_l = dapply("disc_p_local", fake * m)
+            real_d_g = dapply("disc_p_global", x)
             gl = self._p_gan_loss(fake_d_g, True, rng, False)
             gl += self._p_gan_loss(fake_d_l, True, rng, False)
             gl *= cfg.lam_p_gan
@@ -585,25 +686,26 @@ class StepBuilder:
                 fl = L.feat_match_loss(real_d_g, fake_d_g) * cfg.lam_p_featmatch
                 total += fl
                 metrics["p_featmatch"] = fl
-            return total, metrics
+        else:
+            real_fake = jnp.concatenate(
+                [jnp.concatenate([m, x], axis=-1),
+                 jnp.concatenate([m, fake], axis=-1)], axis=0
+            )
+            pred = dapply("disc_p", real_fake)
+            real_d, fake_d = divide_pred(pred)
 
-        real_fake = jnp.concatenate(
-            [jnp.concatenate([m, x], axis=-1),
-             jnp.concatenate([m, fake], axis=-1)], axis=0
-        )
-        pred, _ = self._disc_p(d_vars, real_fake)
-        real_d, fake_d = divide_pred(pred)
+            gl = self._p_gan_loss(fake_d, True, rng, for_discriminator=False)
+            total += gl
+            metrics["p_gan"] = gl
 
-        gl = self._p_gan_loss(fake_d, True, rng, for_discriminator=False)
-        total += gl
-        metrics["p_gan"] = gl
+            if cfg.lam_p_featmatch != 0:
+                fl = L.feat_match_loss(real_d, fake_d) * cfg.lam_p_featmatch
+                total += fl
+                metrics["p_featmatch"] = fl
 
-        if cfg.lam_p_featmatch != 0:
-            fl = L.feat_match_loss(real_d, fake_d) * cfg.lam_p_featmatch
-            total += fl
-            metrics["p_featmatch"] = fl
-
-        return total, metrics
+        new_gstate = _state_of(gv) if mutable else None
+        new_dstate = _state_of(dv) if d_mutable else None
+        return total, metrics, new_gstate, new_dstate
 
     # ------------------------------------------------------------------
     # the two jittable steps
@@ -621,7 +723,8 @@ class StepBuilder:
 
     def _accumulate(self, grad_fn, params, batch):
         """Average (loss, metrics, grads) over grad_accumulation
-        micro-batches (unrolled; k is small and static)."""
+        micro-batches (unrolled; k is small and static). Aux layout:
+        (metrics, g_state, d_state); the last micro-batch's states win."""
         k = self.grad_accumulation
         if k <= 1:
             return grad_fn(params, batch)
@@ -632,62 +735,81 @@ class StepBuilder:
             if total_out is None:
                 total_out = out
             else:
-                (l0, (m0, gs0)), g0 = total_out
-                (l1, (m1, gs1)), g1 = out
+                (l0, (m0, _, _)), g0 = total_out
+                (l1, (m1, gs1, ds1)), g1 = out
                 l = l0 + l1
                 m = {kk: m0[kk] + m1[kk] for kk in m0}
                 g = jax.tree_util.tree_map(jnp.add, g0, g1)
-                total_out = ((l, (m, gs1)), g)  # keep last micro's state
-        (l, (m, gs)), g = total_out
+                total_out = ((l, (m, gs1, ds1)), g)  # keep last micro's state
+        (l, (m, gs, ds)), g = total_out
         inv = 1.0 / k
-        return ((l * inv, ({kk: v * inv for kk, v in m.items()}, gs)),
+        return ((l * inv, ({kk: v * inv for kk, v in m.items()}, gs, ds)),
                 jax.tree_util.tree_map(lambda t: t * inv, g))
 
     def g_step(self, state: TrainState, batch: Dict[str, Dict[str, Array]],
                lr_scale) -> Tuple[TrainState, Dict[str, Array]]:
-        """update_G: masker losses over r/s + painter loss over rf."""
+        """update_G: masker losses over r/s + painter loss over rf.
+
+        G and D state collections (BatchNorm running stats, SpectralNorm
+        u/v) are chained sequentially across the r -> s -> rf forwards and
+        persisted, matching the reference where every train-mode forward
+        mutates them in place (trainer.py:989-1015)."""
         rng, new_rng = jax.random.split(state.rng)
-        d_vars = _merge_vars(state.d_params, state.d_state)
 
         def loss_fn(g_params, batch):
             total = 0.0
             metrics = {}
-            new_gstate = state.g_state
+            cur_gstate = state.g_state
+            cur_dstate = state.d_state
             for domain in ("r", "s"):
                 if domain not in batch:
                     continue
                 if not any(t in self.cfg.tasks for t in "msd"):
                     continue
 
-                def masker_domain(p, dbatch, domain=domain):
+                def masker_domain(p, dbatch, gstate, dstate, domain=domain):
                     return self._masker_losses(
-                        _merge_vars(p, state.g_state), d_vars, dbatch,
-                        domain, "G", rng, mutable=True,
+                        _merge_vars(p, gstate),
+                        _merge_vars(state.d_params, dstate),
+                        dbatch, domain, "G", rng,
+                        mutable=True, d_mutable=True,
                     )
 
                 if self.remat:
                     masker_domain = jax.checkpoint(masker_domain)
-                dl, dm, gs = masker_domain(g_params, batch[domain])
+                dl, dm, gs, ds = masker_domain(
+                    g_params, batch[domain], cur_gstate, cur_dstate
+                )
                 total += dl
                 metrics.update(dm)
-                if gs:
-                    new_gstate = gs
+                if gs is not None:
+                    cur_gstate = gs
+                if ds is not None:
+                    cur_dstate = ds
             if "p" in self.cfg.tasks and "rf" in batch:
 
-                def painter_fn(p, dbatch):
+                def painter_fn(p, dbatch, gstate, dstate):
                     return self._painter_losses(
-                        _merge_vars(p, state.g_state), d_vars, dbatch, rng
+                        _merge_vars(p, gstate),
+                        _merge_vars(state.d_params, dstate),
+                        dbatch, rng, mutable=True, d_mutable=True,
                     )
 
                 if self.remat:
                     painter_fn = jax.checkpoint(painter_fn)
-                pl, pm = painter_fn(g_params, batch["rf"])
+                pl, pm, gs, ds = painter_fn(
+                    g_params, batch["rf"], cur_gstate, cur_dstate
+                )
                 total += pl
                 metrics.update(pm)
+                if gs is not None:
+                    cur_gstate = gs
+                if ds is not None:
+                    cur_dstate = ds
             metrics["g_total"] = total
-            return total, (metrics, new_gstate)
+            return total, (metrics, cur_gstate, cur_dstate)
 
-        (loss, (metrics, new_gstate)), grads = self._accumulate(
+        (loss, (metrics, new_gstate, new_dstate)), grads = self._accumulate(
             jax.value_and_grad(loss_fn, has_aux=True), state.g_params, batch
         )
 
@@ -697,31 +819,53 @@ class StepBuilder:
             self._g_lr_scales = build_lr_scales(state.g_params,
                                                 self.g_lr_rules)
         extrapolate = (state.step % 2) == 0
-        new_params, new_opt = extra_adam_step(
+        new_params, new_opt = self.g_opt_step(
             grads, state.g_opt, state.g_params,
-            lr=self.g_lr * lr_scale, extrapolate=extrapolate, b1=self.g_b1,
+            lr=self.g_lr * lr_scale, extrapolate=extrapolate,
             lr_scales=self._g_lr_scales,
         )
         return state._replace(
-            g_params=new_params, g_state=new_gstate, g_opt=new_opt, rng=new_rng,
+            g_params=new_params, g_state=new_gstate, d_state=new_dstate,
+            g_opt=new_opt, rng=new_rng,
         ), metrics
 
     def d_step(self, state: TrainState, batch: Dict[str, Dict[str, Array]],
                lr_scale) -> Tuple[TrainState, Dict[str, Array]]:
-        """update_D: painter D on rf + ADVENT m/s D on r/s."""
+        """update_D: painter D on rf + ADVENT m/s D on r/s.
+
+        D's spectral u/v advance through every D forward and persist into
+        the returned state; G also runs in train mode here (BN batch stats,
+        u/v updates) exactly as the reference, where update_D never switches
+        G to eval (trainer.py:1017-1160)."""
         rng, new_rng = jax.random.split(state.rng)
-        g_vars = _merge_vars(state.g_params, state.g_state)
 
         def loss_fn(d_params, batch):
-            d_vars = _merge_vars(d_params, state.d_state)
+            cur_gstate = state.g_state
+            cur_dstate = state.d_state
             total = 0.0
             metrics = {}
             for domain, dbatch in batch.items():
+                d_vars = _merge_vars(d_params, cur_dstate)
                 if domain == "rf" and "p" in self.cfg.tasks:
+                    dv = dict(d_vars)
+
+                    def dapply(method, inp):
+                        out, new_state = self.D.apply(
+                            dv, inp, method=method, update_sn=True,
+                            mutable=["spectral"],
+                        )
+                        dv.update(new_state)
+                        return out
+
                     cdtype = jnp.bfloat16 if self.cfg.bf16 else jnp.float32
                     x = dbatch["x"].astype(cdtype)
                     m = dbatch["m"].astype(cdtype)
-                    fake = jax.lax.stop_gradient(self._paint(g_vars, x, m, rng))
+                    g_vars = _merge_vars(state.g_params, cur_gstate)
+                    fake, pstate = self._paint(g_vars, x, m, rng,
+                                               update_sn=True)
+                    fake = jax.lax.stop_gradient(fake)
+                    if pstate is not None:
+                        cur_gstate = {**cur_gstate, **pstate}
                     x = x.astype(jnp.float32)
                     m = m.astype(jnp.float32)
                     fake = fake.astype(jnp.float32)
@@ -731,70 +875,55 @@ class StepBuilder:
                         x = self._diff_aug(k2, x)
                     if self.cfg.p_use_local:
                         # reference trainer.py:1088-1107
-                        fdg = self.D.apply(d_vars, fake,
-                                           method="disc_p_global")
-                        rdg = self.D.apply(d_vars, x, method="disc_p_global")
-                        fdl = self.D.apply(d_vars, fake * m,
-                                           method="disc_p_local")
-                        rdl = self.D.apply(d_vars, x * m,
-                                           method="disc_p_local")
+                        fdg = dapply("disc_p_global", fake)
+                        rdg = dapply("disc_p_global", x)
+                        fdl = dapply("disc_p_local", fake * m)
+                        rdl = dapply("disc_p_local", x * m)
                         dl = (self._p_gan_loss(fdg, False, rng, True)
                               + self._p_gan_loss(rdg, True, rng, True)
                               + self._p_gan_loss(fdl, False, rng, True)
                               + self._p_gan_loss(rdl, True, rng, True))
-                        total += dl
-                        metrics["D_p_gan"] = dl
-                        continue
-                    real_fake = jnp.concatenate(
-                        [jnp.concatenate([m, x], axis=-1),
-                         jnp.concatenate([m, fake], axis=-1)], axis=0
-                    )
-                    pred, _ = self._disc_p(d_vars, real_fake)
-                    real_d, fake_d = divide_pred(pred)
-                    dl = self._p_gan_loss(fake_d, False, rng, True)
-                    dl += self._p_gan_loss(real_d, True, rng, True)
+                    else:
+                        real_fake = jnp.concatenate(
+                            [jnp.concatenate([m, x], axis=-1),
+                             jnp.concatenate([m, fake], axis=-1)], axis=0
+                        )
+                        pred = dapply("disc_p", real_fake)
+                        real_d, fake_d = divide_pred(pred)
+                        dl = self._p_gan_loss(fake_d, False, rng, True)
+                        dl += self._p_gan_loss(real_d, True, rng, True)
                     total += dl
                     metrics["D_p_gan"] = dl
+                    cur_dstate = _state_of(dv)
                 elif domain in ("r", "s"):
-                    dl, dm, _ = self._masker_losses(
+                    g_vars = _merge_vars(state.g_params, cur_gstate)
+                    dl, dm, gs, ds = self._masker_losses(
                         g_vars, d_vars, dbatch, domain, "D", rng,
-                        mutable=False,
+                        mutable=True, d_mutable=True,
                     )
+                    if gs is not None:
+                        cur_gstate = gs
+                    if ds is not None:
+                        cur_dstate = ds
                     # reference get_D_loss scales advent step losses again
                     # by adv_main (trainer.py:1127,1155)
                     total += dl * self.cfg.adv_main
                     metrics.update(dm)
             metrics["d_total"] = total
-            return total, metrics
+            return total, (metrics, cur_gstate, cur_dstate)
 
-        k = self.grad_accumulation
-        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-        if k <= 1:
-            (loss, metrics), grads = grad_fn(state.d_params, batch)
-        else:
-            total = None
-            for mb in self._split_micro(batch, k):
-                out = grad_fn(state.d_params, mb)
-                if total is None:
-                    total = out
-                else:
-                    (l0, m0), g0 = total
-                    (l1, m1), g1 = out
-                    total = ((l0 + l1, {kk: m0[kk] + m1[kk] for kk in m0}),
-                             jax.tree_util.tree_map(jnp.add, g0, g1))
-            (loss, metrics), grads = total
-            loss = loss / k
-            metrics = {kk: v / k for kk, v in metrics.items()}
-            grads = jax.tree_util.tree_map(lambda t: t / k, grads)
+        (loss, (metrics, new_gstate, new_dstate)), grads = self._accumulate(
+            jax.value_and_grad(loss_fn, has_aux=True), state.d_params, batch
+        )
         if self.d_lr_rules and self._d_lr_scales is None:
             from climategan_tpu.optim import build_lr_scales
 
             self._d_lr_scales = build_lr_scales(state.d_params,
                                                 self.d_lr_rules)
         extrapolate = (state.step % 2) == 0
-        new_params, new_opt = extra_adam_step(
+        new_params, new_opt = self.d_opt_step(
             grads, state.d_opt, state.d_params,
-            lr=self.d_lr * lr_scale, extrapolate=extrapolate, b1=self.d_b1,
+            lr=self.d_lr * lr_scale, extrapolate=extrapolate,
             lr_scales=self._d_lr_scales,
         )
         if self.cfg.m_gan_type == "WGAN" or self.cfg.s_gan_type == "WGAN":
@@ -808,7 +937,8 @@ class StepBuilder:
                 if name in new_params:
                     new_params[name] = clamp_params(new_params[name], lo, hi)
         return state._replace(
-            d_params=new_params, d_opt=new_opt, rng=new_rng,
+            d_params=new_params, d_state=new_dstate, g_state=new_gstate,
+            d_opt=new_opt, rng=new_rng,
             step=state.step + 1,
         ), metrics
 
@@ -830,14 +960,15 @@ class StepBuilder:
         total = 0.0
         for domain in ("r", "s"):
             if domain in batch and any(t in self.cfg.tasks for t in "msd"):
-                dl, dm, _ = self._masker_losses(
+                dl, dm, _, _ = self._masker_losses(
                     g_vars, d_vars, batch[domain], domain, "G", rng,
                     mutable=False, eval_mode=True,
                 )
                 total += dl
                 metrics.update({f"val_{k}": v for k, v in dm.items()})
         if "p" in self.cfg.tasks and "rf" in batch:
-            pl, pm = self._painter_losses(g_vars, d_vars, batch["rf"], rng)
+            pl, pm, _, _ = self._painter_losses(g_vars, d_vars, batch["rf"],
+                                                rng)
             total += pl
             metrics.update({f"val_{k}": v for k, v in pm.items()})
         metrics["val_g_total"] = total

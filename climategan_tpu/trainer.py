@@ -67,6 +67,7 @@ class Trainer:
         self.builder = StepBuilder(self.opts, vgg_variables=self._maybe_vgg(rng))
         sample = self._sample_batch()
         self.state = self.builder.init_state(rng, sample)
+        self.state = self._maybe_pretrained_backbone(self.state)
 
         # mesh size: largest device count that divides the per-step batch
         n_dev = len(jax.devices())
@@ -80,8 +81,33 @@ class Trainer:
         self.state = replicate(self.mesh, self.state)
         self._train_step = jax.jit(self.builder.train_step,
                                    donate_argnums=(0,))
+        # architecture dump on setup (reference logger.py:438-445,
+        # tutils.write_architecture)
+        try:
+            from climategan_tpu.utils.summary import write_architecture
+
+            write_architecture(self.opts.output_path, self.state, self.opts)
+        except Exception as e:
+            self.logger.print(f"architecture dump failed: {e}")
         self.is_setup = True
         return self
+
+    def _maybe_pretrained_backbone(self, state):
+        """Initialize the encoder (and v3 seg decoder) from pretrained
+        DeepLab .pth weights when gen.deeplabv{2,3}.use_pretrained is set
+        (reference deeplab/__init__.py:54-101, deeplab_v3.py:193-230)."""
+        from climategan_tpu.train_step import _split_vars
+        from climategan_tpu.utils.convert import (
+            maybe_load_pretrained_backbone,
+        )
+
+        g_vars = {"params": state.g_params, **state.g_state}
+        g_vars, loaded = maybe_load_pretrained_backbone(self.opts, g_vars)
+        if loaded:
+            g_params, g_state = _split_vars(g_vars)
+            state = state._replace(g_params=g_params, g_state=g_state)
+            self.logger.print("loaded pretrained backbone weights")
+        return state
 
     def _maybe_vgg(self, rng):
         if float(self.opts.train.lambdas.G.p.vgg) == 0 or "p" not in self.opts.tasks:
@@ -143,10 +169,17 @@ class Trainer:
         jax.block_until_ready(self.state.g_params)
         dt = time.time() - t0
         self.logger.log_epoch_time(epoch, dt, n_steps)
-        self.logger.log_metrics({
+        # per-group LRs like the reference's lr_names logging
+        # (logger.py:256-272, optim.py:88-107)
+        lrs = {
             "lr/G": self.builder.g_lr * g_scale,
             "lr/D": self.builder.d_lr * d_scale,
-        })
+        }
+        for prefix, scale in self.builder.g_lr_rules.items():
+            lrs[f"lr/G_{prefix}"] = self.builder.g_lr * scale * g_scale
+        for prefix, scale in self.builder.d_lr_rules.items():
+            lrs[f"lr/D_{prefix}"] = self.builder.d_lr * scale * d_scale
+        self.logger.log_metrics(lrs)
 
     @property
     def global_step(self) -> int:
@@ -213,7 +246,33 @@ class Trainer:
         g_vars = self._eval_g_vars()
         n = 0
 
-        # validation losses (reference reuses get_G_loss over val loaders)
+        # per-batch metrics accumulate here and are averaged over n batches;
+        # one-shot values (eval_losses, fid) are merged in afterwards so they
+        # are not wrongly scaled by 1/n
+        accum: Dict[str, float] = {}
+        for tup in zip(*self.loaders["val"].values()):
+            for item in tup:
+                domain, data = item["domain"], item["data"]
+                if domain == "rf" or "s" not in data:
+                    continue
+                d, s, m = self.G.apply(
+                    g_vars, jnp.asarray(data["x"]), method="infer_masker"
+                )
+                pred = np.asarray(jnp.argmax(s, axis=-1))
+                tgt = np.asarray(data["s"])
+                accum[f"val/acc_{domain}"] = (
+                    accum.get(f"val/acc_{domain}", 0.0)
+                    + accuracy(pred, tgt)
+                )
+                accum[f"val/mIOU_{domain}"] = (
+                    accum.get(f"val/mIOU_{domain}", 0.0)
+                    + mIOU(pred, tgt)
+                )
+            n += 1
+        metrics.update({k: v / max(n, 1) for k, v in accum.items()})
+
+        # validation losses (reference reuses get_G_loss over val loaders);
+        # computed once on a single zipped batch
         if self.builder is not None:
             try:
                 val_batch = {
@@ -225,35 +284,95 @@ class Trainer:
                 metrics.update({k: float(np.asarray(v))
                                 for k, v in losses.items()})
             except Exception as e:
-                self.logger.print(f"val losses failed: {e}")
-        for tup in zip(*self.loaders["val"].values()):
-            for item in tup:
-                domain, data = item["domain"], item["data"]
-                if domain == "rf" or "s" not in data:
-                    continue
-                d, s, m = self.G.apply(
-                    g_vars, jnp.asarray(data["x"]), method="infer_masker"
+                import traceback
+
+                self.logger.print(
+                    f"val losses failed: {e}\n{traceback.format_exc()}"
                 )
-                pred = np.asarray(jnp.argmax(s, axis=-1))
-                tgt = np.asarray(data["s"])
-                metrics[f"val/acc_{domain}"] = (
-                    metrics.get(f"val/acc_{domain}", 0.0)
-                    + accuracy(pred, tgt)
-                )
-                metrics[f"val/mIOU_{domain}"] = (
-                    metrics.get(f"val/mIOU_{domain}", 0.0)
-                    + mIOU(pred, tgt)
-                )
-            n += 1
-        metrics = {k: v / max(n, 1) for k, v in metrics.items()}
 
         if (self.opts.train.fid.get("enable", False)
                 and "p" in self.opts.tasks):
             metrics["val/fid"] = self.compute_val_fid()
 
         self._log_eval_panels()
+        self.log_eval_images()
         self.logger.log_metrics(metrics)
         return metrics
+
+    def log_eval_images(self, n: int = 4):
+        """Per-task, per-domain image grids like the reference's comet
+        grids (logger.py:28-219: one row per display image, columns = input
+        | per-task label | prediction) plus the combined masker->painter
+        panel (:296-339). Written as PNGs under output_path/images."""
+        try:
+            from climategan_tpu.ops.interpolate import resize as jresize
+
+            g_vars = self._eval_g_vars()
+            tasks = set(self.opts.tasks)
+
+            def grey(a, hw):
+                a = np.asarray(jresize(jnp.asarray(a, jnp.float32), hw,
+                                       "bilinear"))
+                lo, hi = a.min(), a.max()
+                a = (a - lo) / (hi - lo + 1e-9)
+                if a.shape[-1] != 1:
+                    a = a[..., :1]
+                return np.repeat(a, 3, axis=-1)
+
+            def seg_grey(s_idx, hw, nc):
+                a = s_idx.astype(np.float32)[..., None] / max(nc - 1, 1)
+                a = np.asarray(jresize(jnp.asarray(a), hw, "nearest"))
+                return np.repeat(a, 3, axis=-1)
+
+            for domain, loader in (self.loaders.get("val") or {}).items():
+                item = next(iter(loader), None)
+                if item is None:
+                    continue
+                data = item["data"]
+                x = jnp.asarray(data["x"][:n])
+                hw = (x.shape[1], x.shape[2])
+                cols = [np.asarray((x + 1) / 2)]
+                if domain == "rf" and "p" in tasks:
+                    m = jnp.asarray(data["m"][:n])
+                    cols.append(np.asarray((x * (1 - m) + 1) / 2))
+                    painted = self.G.apply(g_vars, m, x, method="paint")
+                    cols.append(np.asarray((painted + 1) / 2))
+                elif tasks & set("msd"):
+                    d, s, m = self.G.apply(g_vars, x, method="infer_masker")
+                    if "d" in tasks:
+                        if "d" in data:
+                            cols.append(grey(data["d"][:n], hw))
+                        cols.append(grey(d, hw))
+                    if "s" in tasks:
+                        nc = int(s.shape[-1])
+                        if "s" in data:
+                            cols.append(seg_grey(np.asarray(data["s"][:n]),
+                                                 hw, nc))
+                        cols.append(seg_grey(
+                            np.asarray(jnp.argmax(s, axis=-1)), hw, nc))
+                    if "m" in tasks:
+                        if "m" in data:
+                            cols.append(np.repeat(
+                                np.asarray(data["m"][:n],
+                                           np.float32), 3, axis=-1))
+                        cols.append(np.repeat(np.asarray(m), 3, axis=-1))
+                        if "p" in tasks:  # masker->painter combined panel
+                            painted = self.G.apply(
+                                g_vars, jnp.asarray(np.asarray(m)), x,
+                                method="paint")
+                            cols.append(np.asarray((painted + 1) / 2))
+                else:
+                    continue
+                # rows = samples, columns = input/labels/predictions
+                grid = np.concatenate(cols, axis=2)
+                self.logger.log_images(f"val_{domain}_tasks", grid,
+                                       step=self.global_step)
+        except Exception as e:  # image logging must never kill training
+            import traceback
+
+            self.logger.print(
+                f"eval image grids failed: {e}\n{traceback.format_exc()}"
+            )
 
     def _log_eval_panels(self, n: int = 2):
         """Masker/painter image panels like the reference's comet grids
@@ -286,7 +405,11 @@ class Trainer:
             self.logger.log_images("val_panel", grid,
                                    step=self.global_step)
         except Exception as e:  # panels must never kill training
-            self.logger.print(f"eval panels failed: {e}")
+            import traceback
+
+            self.logger.print(
+                f"eval panels failed: {e}\n{traceback.format_exc()}"
+            )
 
     def compute_val_fid(self, max_images: Optional[int] = None) -> float:
         """Painter FID on val rf images (reference fid.py:334-434): real

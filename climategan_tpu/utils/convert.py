@@ -38,10 +38,31 @@ def conv_w(arr) -> np.ndarray:
     return np.transpose(_t(arr), (2, 3, 1, 0))  # OIHW -> HWIO
 
 
-def load_torch_state_dict(path: str) -> Dict[str, Any]:
+def load_torch_state_dict(path: str,
+                          allow_pickle: bool = False) -> Dict[str, Any]:
+    """Load a torch checkpoint safely: ``weights_only=True`` first (plain
+    tensor state dicts — the released ClimateGAN ckpts — load fine), and
+    fall back to full unpickling only with explicit ``allow_pickle=True``
+    since that executes arbitrary code from the file."""
     import torch
 
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        ckpt = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception as e:
+        if not allow_pickle:
+            raise RuntimeError(
+                f"{path} is not a plain-tensor checkpoint "
+                f"(weights_only load failed: {e}). If you trust this file, "
+                f"retry with allow_pickle=True."
+            ) from e
+        import warnings
+
+        warnings.warn(
+            f"falling back to unsafe pickle load for {path}; this executes "
+            f"code embedded in the checkpoint",
+            stacklevel=2,
+        )
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(ckpt, dict) and "G" in ckpt:
         return ckpt["G"]
     if isinstance(ckpt, dict) and "state_dict" in ckpt:
@@ -430,3 +451,193 @@ def load_vgg19_weights(path: str, variables: Dict) -> Dict:
                conv_w(sd[f"features.{ti}.weight"]))
         vt.set("params", (f"conv{i}", "bias"), _t(sd[f"features.{ti}.bias"]))
     return vt.result()
+
+
+# ---------------------------------------------------------------------------
+# pretrained backbone / seg-head loading (the reference initializes encoders
+# and the v3 seg decoder from pretrained DeepLab .pth files at setup:
+# deeplab/__init__.py:43-101, deeplab_v3.py:193-230, mobilenet_v3.py:303-324)
+# ---------------------------------------------------------------------------
+
+
+def _cbr(vt, prefix, sd, tkey):
+    """_ConvBNReLU (mobilenet_v3.py:70-101): .conv + .bn."""
+    vt.set("params", prefix + ("conv", "kernel"),
+           conv_w(sd[f"{tkey}.conv.weight"]))
+    assign_bn(vt, prefix + ("bn",), sd, f"{tkey}.bn")
+
+
+# (t, c, n) groups per stage, mirroring models.mobilenet._IR_SETTING and the
+# reference's block1..block5 split (mobilenet_v3.py:193-236)
+_MOBILENET_STAGES = (
+    ("block1", ((1, 16, 1),)),
+    ("block2", ((6, 24, 2),)),
+    ("block3", ((6, 32, 3),)),
+    ("block4", ((6, 64, 4), (6, 96, 3))),
+    ("block5", ((6, 160, 3), (6, 320, 1))),
+)
+
+
+def convert_mobilenet_encoder(vt, sd, flax_prefix=("encoder",),
+                              lenient=False):
+    """Pretrained MobileNetV2 state dict (keys ``conv1.*``,
+    ``block{1-5}.{j}.conv.{i}.*``) -> MobileNetV2Encoder. With ``lenient``,
+    missing torch keys are skipped (the reference's strict-update-on-
+    intersection semantics, mobilenet_v3.py:303-324)."""
+    def maybe(fn, *args):
+        try:
+            fn(*args)
+            return 1
+        except KeyError:
+            if not lenient:
+                raise
+            return 0
+
+    loaded = maybe(_cbr, vt, flax_prefix + ("conv1",), sd, "conv1")
+    for sname, groups in _MOBILENET_STAGES:
+        j = 0
+        for t, c, n in groups:
+            for _ in range(n):
+                tk = f"{sname}.{j}"
+                fp = flax_prefix + (f"{sname}_ir{j}",)
+                li = 0
+                if t != 1:
+                    loaded += maybe(_cbr, vt, fp + ("layer0",), sd,
+                                    f"{tk}.conv.0")
+                    li = 1
+                loaded += maybe(_cbr, vt, fp + (f"layer{li}",), sd,
+                                f"{tk}.conv.{li}")
+
+                def pw(fp=fp, tk=tk, li=li):
+                    vt.set("params", fp + ("project", "kernel"),
+                           conv_w(sd[f"{tk}.conv.{li + 1}.weight"]))
+                    assign_bn(vt, fp + ("project_bn",), sd,
+                              f"{tk}.conv.{li + 2}")
+
+                loaded += maybe(pw)
+                j += 1
+    return loaded
+
+
+def convert_pretrained_seg_resnet(vt, sd, flax_prefix=("seg_decoder",),
+                                  skip_classes=19):
+    """Pretrained DeepLabv3+ (resnet) ``aspp.*`` / ``decoder.*`` keys ->
+    DeepLabV3Decoder, skipping the source 19-class classifier
+    (deeplab_v3.py:197-216)."""
+    for name in ("conv1", "conv2", "conv3", "conv4", "conv_out"):
+        assign_plain_conv(vt, flax_prefix + ("aspp", name, "conv"), sd,
+                          f"aspp.{name}.conv")
+        assign_raw_bn(vt, flax_prefix + ("aspp", name, "bn", "BatchNorm_0"),
+                      sd, f"aspp.{name}.bn")
+    assign_plain_conv(vt, flax_prefix + ("decoder", "conv_low", "conv"), sd,
+                      "decoder.conv_low.conv")
+    assign_raw_bn(vt, flax_prefix + ("decoder", "conv_low", "bn",
+                                     "BatchNorm_0"),
+                  sd, "decoder.conv_low.bn")
+    for i in (0, 1):
+        assign_plain_conv(vt, flax_prefix + ("decoder", f"conv_cat{i}",
+                                             "conv"),
+                          sd, f"decoder.conv_cat.{i}.conv")
+        assign_raw_bn(vt, flax_prefix + ("decoder", f"conv_cat{i}", "bn",
+                                         "BatchNorm_0"),
+                      sd, f"decoder.conv_cat.{i}.bn")
+    w = sd.get("decoder.conv_out.weight")
+    if w is not None and _t(w).shape[0] != skip_classes:
+        assign_plain_conv(vt, flax_prefix + ("decoder", "conv_out"), sd,
+                          "decoder.conv_out")
+
+
+def convert_pretrained_seg_mobilenet(vt, sd, flax_prefix=("seg_decoder",),
+                                     skip_classes=19):
+    """Pretrained ``head.block.{0,1,2}`` keys -> DeepLabHead, skipping the
+    19-class classifier (deeplab_v3.py:218-230)."""
+    def sep(prefix, tkey):
+        vt.set("params", prefix + ("depthwise", "kernel"),
+               conv_w(sd[f"{tkey}.block.depthwise.weight"]))
+        assign_bn(vt, prefix + ("bn_depth",), sd, f"{tkey}.block.bn_depth")
+        vt.set("params", prefix + ("pointwise", "kernel"),
+               conv_w(sd[f"{tkey}.block.pointwise.weight"]))
+        assign_bn(vt, prefix + ("bn_point",), sd, f"{tkey}.block.bn_point")
+
+    sep(flax_prefix + ("head", "sep0"), "head.block.0")
+    sep(flax_prefix + ("head", "sep1"), "head.block.1")
+    w = sd.get("head.block.2.weight")
+    if w is not None and _t(w).shape[0] != skip_classes:
+        assign_plain_conv(vt, flax_prefix + ("head", "classifier"), sd,
+                          "head.block.2")
+
+
+def maybe_load_pretrained_backbone(opts, variables: Dict):
+    """Honor ``gen.deeplabv2.use_pretrained`` / ``gen.deeplabv3.use_pretrained``
+    + ``pretrained_model`` paths (reference defaults.yaml:108-120,
+    deeplab/__init__.py:54-101). Returns ``(variables, loaded: bool)``; the
+    returned tree has encoder (and, for v3, seg-decoder) weights replaced.
+    """
+    from pathlib import Path
+
+    g = opts.gen
+    arch = g.encoder.get("architecture", "deeplabv3")
+    has_encoder = any(t in (opts.tasks or ()) for t in "msd")
+    if not has_encoder:
+        return variables, False
+
+    if arch == "deeplabv2":
+        conf = g.deeplabv2
+        if not conf.get("use_pretrained"):
+            return variables, False
+        path = str(conf.get("pretrained_model") or "")
+        if not path or not Path(path).exists():
+            raise FileNotFoundError(
+                f"gen.deeplabv2.use_pretrained set but pretrained_model "
+                f"{path!r} does not exist"
+            )
+        sd = load_torch_state_dict(path)
+        # strip the first key component and skip layer5/resblock
+        # (reference deeplab/__init__.py:89-97)
+        enc_sd = {}
+        for k, v in sd.items():
+            parts = k.split(".")
+            if len(parts) > 1 and parts[1] in ("layer5", "resblock"):
+                continue
+            enc_sd["encoder." + ".".join(parts[1:])] = v
+        vt = VariableTree(variables)
+        convert_resnet_encoder(
+            vt, enc_sd,
+            layers=tuple(conf.get("nblocks") or (3, 4, 23, 3)),
+        )
+        return vt.result(), True
+
+    conf = g.deeplabv3
+    if not conf.get("use_pretrained"):
+        return variables, False
+    backbone = conf.get("backbone", "resnet")
+    pm = conf.get("pretrained_model") or {}
+    path = str(pm.get(backbone, "") if isinstance(pm, dict) else pm)
+    if not path or not Path(path).exists():
+        raise FileNotFoundError(
+            f"gen.deeplabv3.use_pretrained set but pretrained_model."
+            f"{backbone} {path!r} does not exist"
+        )
+    sd = load_torch_state_dict(path)
+    vt = VariableTree(variables)
+    has_seg = "s" in (opts.tasks or ()) and \
+        g.s.get("architecture", "deeplabv3") == "deeplabv3"
+    if backbone == "resnet":
+        enc_sd = {
+            "encoder." + k[len("backbone."):]: v
+            for k, v in sd.items() if k.startswith("backbone.")
+        }
+        convert_resnet_encoder(vt, enc_sd)
+        if has_seg:
+            convert_pretrained_seg_resnet(vt, sd)
+    else:
+        enc_sd = {k.replace("encoder.", "", 1): v for k, v in sd.items()}
+        n_loaded = convert_mobilenet_encoder(vt, enc_sd, lenient=True)
+        if n_loaded == 0:
+            raise ValueError(
+                f"no mobilenet backbone weights matched in {path!r} "
+                f"({len(enc_sd)} keys present)"
+            )
+        if has_seg:
+            convert_pretrained_seg_mobilenet(vt, sd)
+    return vt.result(), True

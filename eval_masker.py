@@ -32,8 +32,13 @@ def main():
     ap.add_argument("-r", "--resume_path", default=None)
     ap.add_argument("--output", default="masker_metrics.json")
     ap.add_argument("--write_maps", action="store_true")
+    ap.add_argument("--plot", action="store_true",
+                    help="per-image error-overlay figures + metric boxplots "
+                         "(reference eval_masker.py:232-320, :751-772)")
     ap.add_argument("--bin_value", type=float, default=0.5)
     ap.add_argument("--limit", type=int, default=-1)
+    ap.add_argument("--size", type=int, default=640,
+                    help="inference resolution (reference fixes 640)")
     args = ap.parse_args()
 
     import cv2
@@ -65,7 +70,11 @@ def main():
     rng = jax.random.PRNGKey(0)
     if variables is None:
         print("WARNING: random weights (no -r given)", file=sys.stderr)
-        variables = jax.jit(G.init)(rng, jnp.zeros((1, 640, 640, 3)))
+        # masker-only init: the painter path is irrelevant here (and needs
+        # >= 2^spade_n_up px inputs)
+        variables = jax.jit(
+            lambda r, x: G.init(r, x, method="infer_masker")
+        )(rng, jnp.zeros((1, args.size, args.size, 3)))
 
     infer_mask = jax.jit(
         lambda v, x: G.apply(v, x, method="infer_masker")[2]
@@ -84,7 +93,7 @@ def main():
         if lp is None:
             continue
         img = cv2.imread(str(p), cv2.IMREAD_COLOR)[..., ::-1]
-        img = resize_and_crop(img, 640)
+        img = resize_and_crop(img, args.size)
         x = jnp.asarray(uint8_to_m11(img))[None]
         pred = np.asarray(infer_mask(variables, x))[0, ..., 0]
 
@@ -92,7 +101,7 @@ def main():
             label = np.load(lp)
         else:
             label = cv2.imread(str(lp), cv2.IMREAD_GRAYSCALE)
-        label = cv2.resize(label, (640, 640),
+        label = cv2.resize(label, (args.size, args.size),
                            interpolation=cv2.INTER_NEAREST)
 
         metrics, maps = masker_classification_metrics(pred, label)
@@ -109,6 +118,18 @@ def main():
             for name, m in maps.items():
                 cv2.imwrite(str(out / f"{p.stem}_{name}.png"),
                             (np.clip(m, 0, 1) * 255).astype(np.uint8))
+
+        if args.plot:
+            sys.path.insert(0, str(Path(__file__).parent))
+            from scripts.plot_metrics import plot_overlay_images
+
+            plot_dir = Path(args.output).parent / "plots"
+            plot_dir.mkdir(parents=True, exist_ok=True)
+            plot_overlay_images(
+                plot_dir / f"{p.stem}.png",
+                img.astype(np.uint8), label, pred, metrics, maps,
+                edge_coherence=ec,
+            )
 
     if not per_image:
         print("No (image, label) pairs found", file=sys.stderr)
@@ -131,6 +152,14 @@ def main():
     print(json.dumps({k: summary[k] for k in KEY_METRICS + ["accuracy"]},
                      indent=2))
     print(f"Report: {args.output}")
+
+    if args.plot:
+        from scripts.plot_metrics import boxplots
+
+        plot_dir = Path(args.output).parent / "plots"
+        plot_dir.mkdir(parents=True, exist_ok=True)
+        boxplots({"model": per_image}, plot_dir)
+        print(f"Plots: {plot_dir}")
     return 0
 
 

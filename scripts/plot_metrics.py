@@ -49,6 +49,67 @@ def boxplots(models: dict, out_dir: Path):
         plt.close(fig)
 
 
+def plot_overlay_images(
+    output_filename,
+    img,
+    label,
+    pred,
+    metrics_dict,
+    maps_dict,
+    edge_coherence=-1,
+    dpi=200,
+    alpha=0.5,
+):
+    """Per-image masker error overlays (reference eval_masker.py:232-320):
+    5 panels — FP map, FN map, may-flood maps, predicted mask, labels —
+    each composited over the input image."""
+    cmap = {"fp": "Reds", "fn": "Reds", "may_neg": "Oranges",
+            "may_pos": "Purples", "pred": "Greens"}
+    f, axes = plt.subplots(1, 5, dpi=dpi)
+
+    axes[0].imshow(img)
+    axes[0].imshow(maps_dict["fp"], vmin=0, vmax=1, cmap=cmap["fp"],
+                   alpha=alpha)
+    axes[0].axis("off")
+    axes[0].set_title("FPR: {:.4f}".format(metrics_dict["fpr"]),
+                      fontsize="xx-small")
+
+    axes[1].imshow(img)
+    axes[1].imshow(maps_dict["fn"], vmin=0, vmax=1, cmap=cmap["fn"],
+                   alpha=alpha)
+    axes[1].axis("off")
+    axes[1].set_title("FNR: {:.4f}".format(metrics_dict["fnr"]),
+                      fontsize="xx-small")
+
+    axes[2].imshow(img)
+    if edge_coherence != -1:
+        title = "MNR: {:.2f} | MPR: {:.2f}\nEdge coh.: {:.4f}".format(
+            metrics_dict["mnr"], metrics_dict["mpr"], edge_coherence)
+    else:
+        title = "MNR: {:.2f} | MPR: {:.2f}".format(
+            metrics_dict["mnr"], metrics_dict["mpr"])
+    axes[2].imshow(maps_dict["may_neg"], vmin=0, vmax=1,
+                   cmap=cmap["may_neg"], alpha=alpha)
+    axes[2].imshow(maps_dict["may_pos"], vmin=0, vmax=1,
+                   cmap=cmap["may_pos"], alpha=alpha)
+    axes[2].set_title(title, fontsize="xx-small")
+    axes[2].axis("off")
+
+    axes[3].imshow(img)
+    axes[3].imshow(pred, vmin=0, vmax=1, cmap=cmap["pred"], alpha=alpha)
+    axes[3].set_title("Predicted mask", fontsize="xx-small")
+    axes[3].axis("off")
+
+    axes[4].imshow(img)
+    axes[4].imshow(label, alpha=alpha)
+    axes[4].set_title("Labels", fontsize="xx-small")
+    axes[4].axis("off")
+
+    f.savefig(output_filename, dpi=f.dpi, bbox_inches="tight",
+              facecolor="white", transparent=False)
+    plt.close(f)
+
+
 def bootstrap_diff(models: dict, out_dir: Path, n_boot: int = 10000,
                    seed: int = 0):
     """Bootstrapped mean-difference distributions between the first two

@@ -95,10 +95,13 @@ def test_sigm_loss_matches_torch_twin():
     sobely = sobelx.t()
     num_pix = 16 * 16
     gm = 0.0
+    batch = pred.shape[0]
     for k in range(2):
         Rk = tF.interpolate(R, scale_factor=1 / 2 ** k) if k else R
-        kx = sobelx.expand(1, 1, 3, 3)
-        ky = sobely.expand(1, 1, 3, 3)
+        # the reference expands the kernels to batch_size output channels
+        # (losses.py:264-271) so gm is summed batch_size times
+        kx = sobelx.expand(batch, 1, 3, 3)
+        ky = sobely.expand(batch, 1, 3, 3)
         gm += (tF.conv2d(Rk, kx).abs() + tF.conv2d(Rk, ky).abs()).sum()
     want = float(0.5 / num_pix * R.abs().sum() + 0.5 / num_pix * gm)
     assert abs(got - want) / abs(want) < 1e-4
