@@ -398,8 +398,11 @@ class StepBuilder:
                 total += dl
                 metrics[f"d_{domain}"] = dl
 
-        # ---- segmentation losses (reference masker_s_loss :1409-1504)
-        if "s" in cfg.tasks and ("s" in batch or for_ == "D"):
+        # ---- segmentation losses (reference masker_s_loss :1409-1504).
+        # The s decoder runs on EVERY domain like the reference: the real
+        # domain has no s labels but still gets minent + ADVENT fool-D
+        # losses, and the SPADE masker's conditioning needs s_pred.
+        if "s" in cfg.tasks:
             s_pred = gapply("segmentation", z, z_depth, train=train_flag)
             softmax_s = jax.nn.softmax(s_pred.astype(jnp.float32), axis=-1)
             if for_ == "G":
