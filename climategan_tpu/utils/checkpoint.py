@@ -62,7 +62,12 @@ def save_checkpoint(directory, state, epoch: int, opts=None) -> Path:
 
 
 def restore_checkpoint(directory, target_state) -> Tuple[Optional[object], int]:
-    """Restore the latest checkpoint into the structure of target_state."""
+    """Restore the latest checkpoint into the structure of target_state.
+
+    The saved tree's key paths must match ``target_state``'s exactly —
+    resuming after the model structure drifted (e.g. a module was added)
+    raises with the offending paths instead of silently misassigning
+    leaves positionally."""
     directory = Path(directory)
     meta_path = directory / "latest.json"
     if not meta_path.exists() or not _HAS_ORBAX:
@@ -70,8 +75,22 @@ def restore_checkpoint(directory, target_state) -> Tuple[Optional[object], int]:
     with open(meta_path) as f:
         meta = json.load(f)
     ckptr = ocp.StandardCheckpointer()
-    restored = ckptr.restore(Path(meta["latest"]).resolve(),
-                             _to_host(target_state))
+    host_target = _to_host(target_state)
+    restored = ckptr.restore(Path(meta["latest"]).resolve(), host_target)
+
+    def paths(tree):
+        flat, _ = jax.tree_util.tree_flatten_with_path(tree)
+        return [jax.tree_util.keystr(p) for p, _ in flat]
+
+    got, want = paths(restored), paths(host_target)
+    if got != want:
+        missing = sorted(set(want) - set(got))[:8]
+        extra = sorted(set(got) - set(want))[:8]
+        raise ValueError(
+            f"checkpoint structure mismatch vs current model: "
+            f"missing={missing} extra={extra} "
+            f"(saved at {meta['latest']})"
+        )
     restored = jax.tree_util.tree_map(jax.numpy.asarray, restored)
     restored = jax.tree_util.tree_unflatten(
         jax.tree_util.tree_structure(target_state),

@@ -83,6 +83,31 @@ def to_cmd(cfg: dict, train_py: str = "train.py"):
     return parts
 
 
+# header keys understood in the experiment YAML's `slurm:` section, in the
+# reference's template order (sbatch.py / shared/template/*.sh)
+_SLURM_KEYS = (
+    ("job_name", "--job-name"),
+    ("partition", "--partition"),
+    ("time", "--time"),
+    ("mem", "--mem"),
+    ("cpus", "--cpus-per-task"),
+    ("gres", "--gres"),
+    ("output", "--output"),
+)
+
+
+def render_script(line: str, i: int, slurm: dict | None) -> str:
+    """One runnable script per run; with a `slurm:` section it gets #SBATCH
+    headers like the reference's generated scripts (sbatch.py templates)."""
+    header = ["#!/bin/sh"]
+    if slurm:
+        for key, flag in _SLURM_KEYS:
+            if key in slurm:
+                val = str(slurm[key]).format(i=i)
+                header.append(f"#SBATCH {flag}={val}")
+    return "\n".join(header) + f"\n{line}\n"
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("-e", "--experiment", required=True,
@@ -90,6 +115,13 @@ def main():
     ap.add_argument("--dry", action="store_true", help="print commands only")
     ap.add_argument("--scripts_dir", default=None,
                     help="write one .sh per run instead of executing")
+    ap.add_argument("--submit", choices=["none", "sbatch", "bash",
+                                         "background"],
+                    default="none",
+                    help="submit the generated scripts: sbatch (SLURM, like "
+                         "the reference), bash (sequential), background "
+                         "(parallel local processes; pids written next to "
+                         "the scripts)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -97,23 +129,54 @@ def main():
         exp = yaml.safe_load(f)
 
     configs = expand(exp, args.seed)
+    slurm = exp.get("slurm") or None
+    train_py = exp.get("script", "train.py")
     print(f"{len(configs)} runs")
+
+    scripts = []
     for i, cfg in enumerate(configs):
-        cmd = to_cmd(cfg)
+        cmd = to_cmd(cfg, train_py)
         line = " ".join(shlex.quote(c) for c in cmd)
         if args.dry:
             print(line)
-        elif args.scripts_dir:
-            d = Path(args.scripts_dir)
+            continue
+        if args.scripts_dir or args.submit != "none":
+            d = Path(args.scripts_dir or "launch_scripts")
             d.mkdir(parents=True, exist_ok=True)
             sh = d / f"run_{i:03d}.sh"
-            sh.write_text(f"#!/bin/sh\n{line}\n")
+            sh.write_text(render_script(line, i, slurm))
             sh.chmod(0o755)
+            scripts.append(sh)
             print(f"wrote {sh}")
         else:
             print(f"--- run {i} ---\n{line}")
             subprocess.run(cmd, check=True)
 
+    if args.submit == "sbatch":
+        import shutil
+
+        if shutil.which("sbatch") is None:
+            print("sbatch not found on this host; scripts were written but "
+                  "not submitted", file=sys.stderr)
+            return 1
+        for sh in scripts:
+            out = subprocess.run(["sbatch", str(sh)], capture_output=True,
+                                 text=True, check=True)
+            print(out.stdout.strip())
+    elif args.submit == "bash":
+        for sh in scripts:
+            print(f"--- {sh.name} ---")
+            subprocess.run(["/bin/sh", str(sh)], check=True)
+    elif args.submit == "background":
+        for sh in scripts:
+            log = sh.with_suffix(".log")
+            with open(log, "w") as lf:
+                proc = subprocess.Popen(["/bin/sh", str(sh)], stdout=lf,
+                                        stderr=subprocess.STDOUT)
+            sh.with_suffix(".pid").write_text(str(proc.pid))
+            print(f"started {sh.name} pid={proc.pid} log={log}")
+    return 0
+
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

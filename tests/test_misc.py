@@ -67,6 +67,55 @@ def test_launcher_expansion():
     assert len(cart) == 4
 
 
+def test_launcher_scripts_and_slurm_headers(tmp_path):
+    """Script emission with #SBATCH headers + background submission
+    (reference sbatch.py script generation + submission)."""
+    import subprocess
+    import sys
+    import time
+
+    import yaml
+
+    stub = tmp_path / "fake_train.py"
+    stub.write_text("import sys; print('hello_bg', sys.argv[1:])\n")
+    exp = {
+        "runs": 2,
+        "script": str(stub),
+        "searches": {"train.epochs": {"sample": "sequential",
+                                      "from": [1, 2]}},
+        "slurm": {"job_name": "cg_{i}", "partition": "tpu",
+                  "time": "01:00:00", "mem": "16G"},
+    }
+    yml = tmp_path / "exp.yaml"
+    yml.write_text(yaml.safe_dump(exp))
+    scripts = tmp_path / "scripts"
+    out = subprocess.run(
+        [sys.executable, "launch.py", "-e", str(yml),
+         "--scripts_dir", str(scripts)],
+        capture_output=True, text=True, cwd=str(Path(__file__).parent.parent),
+    )
+    assert out.returncode == 0, out.stderr
+    shs = sorted(scripts.glob("run_*.sh"))
+    assert len(shs) == 2
+    text = shs[0].read_text()
+    assert "#SBATCH --job-name=cg_0" in text
+    assert "#SBATCH --partition=tpu" in text
+    assert "train.epochs=1" in text
+
+    # background submission runs the scripts and writes pid + log files
+    out = subprocess.run(
+        [sys.executable, "launch.py", "-e", str(yml),
+         "--scripts_dir", str(scripts), "--submit", "background"],
+        capture_output=True, text=True, cwd=str(Path(__file__).parent.parent),
+    )
+    assert out.returncode == 0, out.stderr
+    for _ in range(50):
+        if (scripts / "run_000.log").exists():
+            break
+        time.sleep(0.1)
+    assert (scripts / "run_000.pid").exists()
+
+
 def test_timer_and_report():
     from climategan_tpu.utils.timer import Timer, stores_report
 
