@@ -32,7 +32,7 @@ REF_V100_IMGS_PER_SEC = 12.0  # documented estimate, see module docstring
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=24)
+    ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--stage", choices=["all", "masker", "painter"],
                     default="all", help="isolate a pipeline stage")
     ap.add_argument("--mesh", action="store_true",

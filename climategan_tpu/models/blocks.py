@@ -242,9 +242,14 @@ class SPADEResnetBlock(nn.Module):
     last_activation: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x, seg, train: bool = False, update_sn: bool = False):
+    def __call__(self, x, seg, train: bool = False, update_sn: bool = False,
+                 s2d: bool = False):
+        """``s2d``: x is space-to-depth packed (seg stays full-res); every
+        conv runs in its s2d-equivalent form (ops/s2d.py) — exact math,
+        identical parameters/checkpoint layout."""
         fmiddle = min(self.fin, self.fout)
         learned_shortcut = self.fin != self.fout
+        sconv = "s2d" if s2d else ""
 
         def act(v):
             return nn.leaky_relu(v, negative_slope=0.2)
@@ -262,40 +267,40 @@ class SPADEResnetBlock(nn.Module):
                 self.kernel_size, self.fin, self.cond_nc, name="norm_0",
             )()
             x_s, dx = dual_spade(x, seg, params_s, params_0,
-                                 self.fin, self.kernel_size)
+                                 self.fin, self.kernel_size, s2d=s2d)
             x_s = SNConv(
                 self.fout, (1, 1), use_bias=False,
                 spectral=self.use_spectral_norm, name="conv_s",
-            )(x_s, update_sn=update_sn)
+            )(x_s, update_sn=update_sn, s2d=sconv)
         else:
             if learned_shortcut:
                 x_s = SPADE(
                     self.param_free_norm, self.kernel_size, self.fin,
                     self.cond_nc, name="norm_s",
-                )(x, seg, train=train, update_sn=update_sn)
+                )(x, seg, train=train, update_sn=update_sn, s2d=s2d)
                 x_s = SNConv(
                     self.fout, (1, 1), use_bias=False,
                     spectral=self.use_spectral_norm, name="conv_s",
-                )(x_s, update_sn=update_sn)
+                )(x_s, update_sn=update_sn, s2d=sconv)
             else:
                 x_s = x
             dx = SPADE(
                 self.param_free_norm, self.kernel_size, self.fin,
                 self.cond_nc, name="norm_0",
-            )(x, seg, train=train, update_sn=update_sn)
+            )(x, seg, train=train, update_sn=update_sn, s2d=s2d)
         dx = SNConv(
             fmiddle, (3, 3), padding=(1, 1),
             spectral=self.use_spectral_norm, name="conv_0",
-        )(act(dx), update_sn=update_sn)
+        )(act(dx), update_sn=update_sn, s2d=sconv)
 
         dx = SPADE(
             self.param_free_norm, self.kernel_size, fmiddle, self.cond_nc,
             name="norm_1",
-        )(dx, seg, train=train, update_sn=update_sn)
+        )(dx, seg, train=train, update_sn=update_sn, s2d=s2d)
         dx = SNConv(
             self.fout, (3, 3), padding=(1, 1),
             spectral=self.use_spectral_norm, name="conv_1",
-        )(act(dx), update_sn=update_sn)
+        )(act(dx), update_sn=update_sn, s2d=sconv)
 
         out = x_s + dx
         if self.last_activation == "lrelu":

@@ -69,6 +69,7 @@ class GenConfig:
     p_paste_original_content: bool = True
     p_spade_param_free_norm: str = "instance"
     p_spade_use_spectral_norm: bool = True
+    p_s2d_tail: bool = True  # space-to-depth full-res painter stage
 
     @classmethod
     def from_opts(cls, opts) -> "GenConfig":
@@ -124,6 +125,9 @@ class GenConfig:
             p_spade_param_free_norm=g.p.get("spade_param_free_norm", "instance"),
             p_spade_use_spectral_norm=bool(
                 g.p.get("spade_use_spectral_norm", True)
+            ),
+            p_s2d_tail=bool(
+                opts.get("tpu", {}).get("painter_s2d", True)
             ),
         )
 
@@ -210,6 +214,7 @@ class OmniGenerator(nn.Module):
                 spade_param_free_norm=c.p_spade_param_free_norm,
                 spade_use_spectral_norm=c.p_spade_use_spectral_norm,
                 use_final_shortcut=c.p_use_final_shortcut,
+                s2d_tail=c.p_s2d_tail,
             )
 
     # ---- task heads -----------------------------------------------------

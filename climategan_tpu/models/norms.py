@@ -176,9 +176,15 @@ class SNConv(nn.Module):
     kernel_init: Callable = nn.initializers.lecun_normal()
 
     @nn.compact
-    def __call__(self, x: jax.Array, update_sn: bool = False) -> jax.Array:
+    def __call__(self, x: jax.Array, update_sn: bool = False,
+                 s2d: str = "") -> jax.Array:
+        """``s2d``: "" (plain), "s2d" (x is space-to-depth packed; apply the
+        equivalent structured conv — ops/s2d.py), or "pack" (x is full-res;
+        emit the s2d-packed output via a stride-2 packed kernel)."""
         kh, kw = self.kernel_size
         ci = x.shape[-1] // self.groups
+        if s2d == "s2d":
+            ci = x.shape[-1] // 4
         kernel = self.param("kernel", self.kernel_init, (kh, kw, ci, self.features))
 
         if self.spectral and not _SPECTRAL_FROZEN:
@@ -201,6 +207,18 @@ class SNConv(nn.Module):
                 v_var.value = v_new
         else:
             w = kernel
+
+        if s2d:
+            assert self.groups == 1 and self.strides == (1, 1) \
+                and self.dilation == (1, 1), "s2d conv: plain stride-1 only"
+            from climategan_tpu.ops.s2d import conv_pack_s2d, conv_s2d
+
+            bias = (self.param("bias", nn.initializers.zeros,
+                               (self.features,))
+                    if self.use_bias else None)
+            if s2d == "s2d":
+                return conv_s2d(x, w.astype(x.dtype), bias)
+            return conv_pack_s2d(x, w.astype(x.dtype), bias)
 
         y = jax.lax.conv_general_dilated(
             x,
@@ -259,7 +277,7 @@ class SPADEParamSet(nn.Module):
 
 
 def dual_spade(x, segmap, params_a, params_b, norm_nc: int,
-               kernel_size: int):
+               kernel_size: int, s2d: bool = False):
     """Two instance-norm SPADEs over the SAME (x, segmap) executed jointly
     (the SRB's parallel norm_s/norm_0 pair): the param-free instance norm
     runs once, the two mlp_shared convs run as one output-concat conv, and
@@ -271,10 +289,19 @@ def dual_spade(x, segmap, params_a, params_b, norm_nc: int,
     (sk_a, sb_a), (gk_a, gb_a), (bk_a, bb_a) = params_a
     (sk_b, sb_b), (gk_b, gb_b), (bk_b, bb_b) = params_b
 
-    normalized = _instance_norm(x)
     pw = kernel_size // 2
     pad = [(pw, pw), (pw, pw)]
-    seg = resize(segmap, (x.shape[1], x.shape[2]), mode="nearest")
+    if s2d:
+        # x is space-to-depth packed; the conditioning convs run at FULL
+        # resolution and the gamma/beta convs emit s2d output directly
+        # (ops/s2d.py strided-packed kernels — no relayout pass)
+        from climategan_tpu.ops.s2d import instance_norm_s2d
+
+        normalized = instance_norm_s2d(x)
+        seg = resize(segmap, (2 * x.shape[1], 2 * x.shape[2]), mode="nearest")
+    else:
+        normalized = _instance_norm(x)
+        seg = resize(segmap, (x.shape[1], x.shape[2]), mode="nearest")
 
     dt = x.dtype
     # one conv for both mlp_shared branches (same input)
@@ -293,6 +320,16 @@ def dual_spade(x, segmap, params_a, params_b, norm_nc: int,
     actv_a = actv[..., :nhidden]
     actv_b = actv[..., nhidden:]
     nc = norm_nc
+
+    if s2d:
+        from climategan_tpu.ops.s2d import conv_pack_s2d_pair
+
+        gamma_a, beta_a = conv_pack_s2d_pair(
+            actv_a, gk_a.astype(dt), bk_a.astype(dt), gb_a, bb_a)
+        gamma_b, beta_b = conv_pack_s2d_pair(
+            actv_b, gk_b.astype(dt), bk_b.astype(dt), gb_b, bb_b)
+        return (normalized * (1.0 + gamma_a) + beta_a,
+                normalized * (1.0 + gamma_b) + beta_b)
 
     def gb_conv(a, gk, bk, gbias, bbias):
         kernel = jnp.concatenate([gk, bk], axis=-1).astype(dt)
@@ -336,7 +373,34 @@ class SPADE(nn.Module):
     nhidden: int = 128
 
     @nn.compact
-    def __call__(self, x, segmap, train: bool = False, update_sn: bool = False):
+    def __call__(self, x, segmap, train: bool = False,
+                 update_sn: bool = False, s2d: bool = False):
+        if s2d:
+            # x is space-to-depth packed (ops/s2d.py); instance norm pools
+            # phases per original channel, the conditioning convs run at
+            # full resolution, and gamma/beta come out s2d-packed
+            assert self.param_free_norm == "instance"
+            from climategan_tpu.ops.s2d import (
+                conv_pack_s2d_pair,
+                instance_norm_s2d,
+            )
+
+            normalized = instance_norm_s2d(x)
+            pw = self.kernel_size // 2
+            ks = (self.kernel_size, self.kernel_size)
+            seg = resize(segmap, (2 * x.shape[1], 2 * x.shape[2]),
+                         mode="nearest")
+            actv = SNConv(self.nhidden, ks, padding=(pw, pw),
+                          name="mlp_shared")(seg)
+            actv = nn.relu(actv)
+            kg, bg = ConvParams(self.norm_nc, ks, self.nhidden,
+                                name="mlp_gamma")()
+            kb, bb = ConvParams(self.norm_nc, ks, self.nhidden,
+                                name="mlp_beta")()
+            gamma, beta = conv_pack_s2d_pair(
+                actv, kg.astype(actv.dtype), kb.astype(actv.dtype), bg, bb)
+            return normalized * (1.0 + gamma) + beta
+
         if self.param_free_norm == "instance":
             normalized = InstanceNorm()(x)
         elif self.param_free_norm == "batch":

@@ -30,6 +30,11 @@ class PainterSpadeDecoder(nn.Module):
     spade_param_free_norm: str = "instance"
     spade_kernel_size: int = 3
     use_final_shortcut: bool = False
+    # run the full-resolution stage (last up_spade -> final_spade ->
+    # conv_img) space-to-depth packed: same math, 4x the channels at 1/4
+    # the pixels — the tail's 3-40 channels otherwise pad the TPU lane dim
+    # to 128 (ops/s2d.py; profiled ~45% of flood inference in this stage)
+    s2d_tail: bool = True
 
     def _srb(self, fin, fout, name):
         return SPADEResnetBlock(
@@ -53,16 +58,49 @@ class PainterSpadeDecoder(nn.Module):
             z_in = resize(cond, (zh, zw), mode="nearest")
             z = SNConv(nc, (3, 3), padding=(1, 1), name="fc")(z_in)
 
+        # space-to-depth tail: only with the default instance-norm SPADEs,
+        # no final shortcut (its BatchNorm pools per-channel), at least one
+        # up_spade (so the tail starts from an upsample), and even dims
+        use_s2d = (
+            self.s2d_tail
+            and self.spade_param_free_norm == "instance"
+            and not self.use_final_shortcut
+            and self.spade_n_up >= 3
+            and cond.shape[1] % 2 == 0 and cond.shape[2] % 2 == 0
+        )
+
         y = self._srb(nc, nc, "head_0")(z, cond, train=train, update_sn=update_sn)
         y = upsample_nearest(y, 2, 2)
         y = self._srb(nc, nc, "G_middle_0")(y, cond, train=train, update_sn=update_sn)
         y = upsample_nearest(y, 2, 2)
         y = self._srb(nc, nc, "G_middle_1")(y, cond, train=train, update_sn=update_sn)
 
-        for i in range(self.spade_n_up - 2):
-            y = upsample_nearest(y, 2, 2)
+        n_up = self.spade_n_up - 2
+        # s2d depth: the last two up_spades (the 320^2/640^2 stages at the
+        # flagship resolution) when the dims allow it
+        k_s2d = 0
+        if use_s2d:
+            k_s2d = 2 if (n_up >= 2 and cond.shape[1] % 4 == 0
+                          and cond.shape[2] % 4 == 0) else 1
+        i0 = n_up - k_s2d
+        for i in range(n_up):
+            if use_s2d and i == i0:
+                from climategan_tpu.ops.s2d import upsample2x_s2d
+
+                y = upsample2x_s2d(y)
+            elif use_s2d and i > i0:
+                from climategan_tpu.ops.s2d import (
+                    depth_to_space,
+                    upsample2x_s2d,
+                )
+
+                # s2d-to-s2d nearest upsample: unpack one level, replicate
+                y = upsample2x_s2d(depth_to_space(y))
+            else:
+                y = upsample_nearest(y, 2, 2)
             y = self._srb(nc // 2 ** i, nc // 2 ** (i + 1), f"up_spade{i}")(
-                y, cond, train=train, update_sn=update_sn
+                y, cond, train=train, update_sn=update_sn,
+                s2d=use_s2d and i >= i0,
             )
 
         final_nc = nc // 2 ** (self.spade_n_up - 2)
@@ -75,9 +113,14 @@ class PainterSpadeDecoder(nn.Module):
             cond = nn.leaky_relu(sc, negative_slope=0.2)
 
         y = self._srb(final_nc, final_nc, "final_spade")(
-            y, cond, train=train, update_sn=update_sn
+            y, cond, train=train, update_sn=update_sn, s2d=use_s2d
         )
         y = SNConv(3, (3, 3), padding=(1, 1), name="conv_img")(
-            nn.leaky_relu(y, negative_slope=0.2)
+            nn.leaky_relu(y, negative_slope=0.2),
+            s2d="s2d" if use_s2d else "",
         )
+        if use_s2d:
+            from climategan_tpu.ops.s2d import depth_to_space
+
+            return depth_to_space(jnp.tanh(y))
         return jnp.tanh(y)

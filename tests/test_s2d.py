@@ -1,0 +1,95 @@
+"""Exactness of the space-to-depth conv rewrites (ops/s2d.py) against the
+plain stride-1 conv path, and of the s2d painter tail end-to-end."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from climategan_tpu.ops.s2d import (
+    conv_pack_s2d,
+    conv_s2d,
+    depth_to_space,
+    instance_norm_s2d,
+    space_to_depth,
+    upsample2x_s2d,
+)
+
+
+def plain_conv(x, k, stride=1):
+    pad = (k.shape[0] // 2, k.shape[1] // 2)
+    return jax.lax.conv_general_dilated(
+        x, k, (stride, stride), [(pad[0], pad[0]), (pad[1], pad[1])],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=x.dtype,
+    )
+
+
+def test_s2d_roundtrip():
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 8, 10, 5).astype(np.float32))
+    np.testing.assert_array_equal(np.asarray(depth_to_space(space_to_depth(x))),
+                                  np.asarray(x))
+
+
+def test_upsample2x_s2d():
+    from climategan_tpu.ops.interpolate import upsample_nearest
+
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(2, 6, 6, 3).astype(np.float32))
+    want = space_to_depth(upsample_nearest(x, 2, 2))
+    got = upsample2x_s2d(x)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.parametrize("kh", [1, 3])
+def test_conv_s2d_exact(kh):
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(2, 12, 16, 6).astype(np.float32))
+    k = jnp.asarray(rng.randn(kh, kh, 6, 5).astype(np.float32))
+    b = jnp.asarray(rng.randn(5).astype(np.float32))
+    want = space_to_depth(plain_conv(x, k) + b)
+    got = conv_s2d(space_to_depth(x), k, b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_conv_pack_s2d_exact():
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 12, 16, 7).astype(np.float32))
+    k = jnp.asarray(rng.randn(3, 3, 7, 4).astype(np.float32))
+    b = jnp.asarray(rng.randn(4).astype(np.float32))
+    want = space_to_depth(plain_conv(x, k) + b)
+    got = conv_pack_s2d(x, k, b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_instance_norm_s2d_exact():
+    from climategan_tpu.models.norms import _instance_norm
+
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(2, 16, 16, 6).astype(np.float32))
+    want = space_to_depth(_instance_norm(x))
+    got = instance_norm_s2d(space_to_depth(x))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_painter_s2d_tail_matches_plain():
+    """Full painter forward: s2d tail vs plain path on identical params
+    (f32, tight tolerance)."""
+    from climategan_tpu.models.painter import PainterSpadeDecoder
+
+    kw = dict(latent_dim=16, spade_n_up=3, spade_use_spectral_norm=True,
+              spade_param_free_norm="instance", use_final_shortcut=False)
+    plain = PainterSpadeDecoder(s2d_tail=False, **kw)
+    packed = PainterSpadeDecoder(s2d_tail=True, **kw)
+
+    rng = np.random.RandomState(5)
+    cond = jnp.asarray(rng.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32))
+    variables = plain.init(jax.random.PRNGKey(0), None, cond)
+
+    want = plain.apply(variables, None, cond)
+    got = packed.apply(variables, None, cond)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
