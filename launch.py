@@ -73,6 +73,13 @@ def expand(exp: dict, seed: int = 0):
                 else:
                     cfg[k] = sample_value(s, rng)
             configs.append(cfg)
+    # render a {i} run-index placeholder in string overrides (e.g. per-run
+    # output_path)
+    configs = [
+        {k: (v.format(i=i) if isinstance(v, str) and "{i}" in v else v)
+         for k, v in cfg.items()}
+        for i, cfg in enumerate(configs)
+    ]
     return configs
 
 
