@@ -221,3 +221,16 @@ def test_upsample_nearest_factors():
     y = np.asarray(upsample_nearest(x, 3, 2))
     assert y.shape == (1, 6, 6, 1)
     assert (y[0, :3, :2, 0] == 0).all()  # top-left block replicated
+
+
+def test_kitti_pretrain_loader_switch():
+    """Epoch loader switching for kitti pretraining (reference switch_data,
+    trainer.py:817-846: pretrain epochs read kitti instead of sim)."""
+    from climategan_tpu.trainer import Trainer
+
+    t = Trainer.__new__(Trainer)  # loaders-only unit check, no setup
+    t.loaders = {"train": {"r": 1, "s": 2, "rf": 3, "kitti": 4}}
+    t.kitti_pretrain = True
+    assert t._epoch_loaders() == {"kitti": 4}
+    t.kitti_pretrain = False
+    assert set(t._epoch_loaders()) == {"r", "s", "rf"}
