@@ -36,6 +36,9 @@ def parse_args():
                    help="Keep aspect ratio, round dims to multiples of 128")
     p.add_argument("--max_im_width", type=int, default=-1)
     p.add_argument("--no_cloudy", action="store_true")
+    p.add_argument("--no_overlap", action="store_true",
+                   help="serialize device compute and host writes (exact "
+                        "per-stage timings; default overlaps them)")
     p.add_argument("--ignore_event", nargs="*", default=[],
                    choices=["flood", "wildfire", "smog"])
     p.add_argument("--time", action="store_true", dest="time_inference",
@@ -160,20 +163,44 @@ def main():
     print(f"Found {len(paths)} images; batch={args.batch_size}")
 
     with Timer(store=stores["data pre-processing"]):
-        imgs = []
-        for p in paths:
+        from concurrent.futures import ThreadPoolExecutor
+
+        def prep(p):
             arr = cv2.imread(str(p), cv2.IMREAD_COLOR)[..., ::-1]
             if args.keep_ratio_128:
                 arr = resize_keep_128(arr, args.max_im_width)
             else:
                 arr = resize_and_crop(arr, 640)
-            imgs.append(uint8_to_m11(arr))
+            return uint8_to_m11(arr)
+
+        # cv2 releases the GIL during decode/resize — a small pool overlaps
+        # file IO with decoding
+        with ThreadPoolExecutor(max_workers=4) as ex:
+            imgs = list(ex.map(prep, paths))
 
     # group identical shapes (XLA static shapes; one compile per bucket)
     by_shape = {}
     for p, a in zip(paths, imgs):
         by_shape.setdefault(a.shape, []).append((p, a))
 
+    def flush(chunk, out_dev):
+        """Device->host conversion + PNG writes for one finished batch."""
+        with Timer(store=stores["numpy"]):
+            out = {k: np.asarray(v) for k, v in out_dev.items()}
+        with Timer(store=stores["write"]):
+            for j, (p, _) in enumerate(chunk):
+                stem = p.stem
+                for event in ("flood", "wildfire", "smog"):
+                    if event in out:
+                        cv2.imwrite(
+                            str(out_dir / f"{stem}_{event}.png"),
+                            out[event][j][..., ::-1],
+                        )
+
+    # JAX dispatch is asynchronous: batch i+1's device compute overlaps
+    # batch i's host-side conversion + writes (disable with --no_overlap
+    # for exact per-stage timings like the reference's serial harness)
+    pending = None
     for shape, items in by_shape.items():
         for i in range(0, len(items), args.batch_size):
             chunk = items[i: i + args.batch_size]
@@ -186,19 +213,18 @@ def main():
                 )
             with Timer(store=stores["all events"]):
                 out = infer(variables, jnp.asarray(batch), rng)
-                out = jax.block_until_ready(out)
-            with Timer(store=stores["numpy"]):
-                out = {k: np.asarray(v) for k, v in out.items()}
-            with Timer(store=stores["write"]):
-                for j, (p, _) in enumerate(chunk):
-                    stem = p.stem
-                    for event in ("flood", "wildfire", "smog"):
-                        if event in out:
-                            cv2.imwrite(
-                                str(out_dir / f"{stem}_{event}.png"),
-                                out[event][j][..., ::-1],
-                            )
+                if args.no_overlap:
+                    out = jax.block_until_ready(out)
+            if pending is not None:
+                flush(*pending)
+                pending = None
+            if args.no_overlap:
+                flush(chunk, out)
+            else:
+                pending = (chunk, out)
             print(f"  processed {i + len(chunk)}/{len(items)} @ {shape}")
+    if pending is not None:
+        flush(*pending)
 
     if args.zip_outputs:
         import shutil
