@@ -28,6 +28,9 @@ def main():
     ap.add_argument("--feat", type=int, default=160)
     ap.add_argument("--iters", type=int, default=6)
     ap.add_argument("--warmup", type=int, default=2)
+    ap.add_argument("--remat_d", action="store_true",
+                    help="also rematerialize the D step (fits batch 3/domain "
+                         "at 640^2, ~12% slower per step)")
     ap.add_argument("--remat", action="store_true",
                     help="rematerialize forward activations (fits larger "
                          "batches in HBM)")
@@ -39,6 +42,8 @@ def main():
     opts = load_opts()
     if args.remat:
         opts.tpu.remat = True
+    if args.remat_d:
+        opts.tpu.remat_d = True
     builder = StepBuilder(opts, vgg_variables=None)
     rng = jax.random.PRNGKey(0)
     n, size, feat = args.batch, args.size, args.feat

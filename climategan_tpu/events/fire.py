@@ -57,14 +57,11 @@ def increase_sky_mask(mask: jax.Array, p_w: float, p_h: float) -> jax.Array:
     n_w = int(p_w * mask.shape[2])
     if n_h <= 0 and n_w <= 0:
         return mask
-    wh = max(2 * n_h - 1, 1)
-    ww = max(2 * n_w - 1, 1)
-    return jax.lax.reduce_window(
-        mask, 0.0, jax.lax.max,
-        window_dimensions=(1, wh, ww, 1),
-        window_strides=(1, 1, 1, 1),
-        padding=((0, 0), (wh // 2, wh // 2), (ww // 2, ww // 2), (0, 0)),
-    )
+    # 0/1 mask: dilation == box-sum > 0, run as two banded matmuls on the
+    # MXU (ops/blur.box_dilate) instead of a (2n-1)^2 reduce_window
+    from climategan_tpu.ops.blur import box_dilate
+
+    return box_dilate(mask, max(n_h - 1, 0), max(n_w - 1, 0))
 
 
 def paste_tensor(source, filter_, mask, transparency: float):

@@ -57,3 +57,36 @@ def gaussian_blur(x: jax.Array, kernel_size: int, sigma: float) -> jax.Array:
     y = jnp.einsum("hH,NHWC->NhWC", Bh, y, preferred_element_type=jnp.float32)
     y = jnp.einsum("wW,NHWC->NHwC", Bw, y, preferred_element_type=jnp.float32)
     return y.astype(dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _band_matrix(size: int, radius: int) -> np.ndarray:
+    """(size, size) ones-band operator: out_i = sum(in[i-radius..i+radius])
+    with zero boundary."""
+    B = np.zeros((size, size), dtype=np.float32)
+    for i in range(size):
+        B[i, max(0, i - radius):min(size, i + radius + 1)] = 1.0
+    return B
+
+
+def box_dilate(mask: jax.Array, radius_h: int, radius_w: int) -> jax.Array:
+    """Binary box dilation of an NHWC 0/1 mask with zero boundary.
+
+    For a 0/1 mask, max over a (2r+1) box == (sum over the box > 0); the
+    separable box sums run as two banded-Toeplitz matmuls on the MXU —
+    the same trick as the blur above, replacing a (2r+1)^2-comparison
+    reduce_window (52k ops/px at r=114, 640^2) with two systolic matmuls.
+    """
+    if radius_h <= 0 and radius_w <= 0:
+        return mask
+    H, W = mask.shape[1], mask.shape[2]
+    y = mask.astype(jnp.float32)
+    if radius_h > 0:
+        Bh = jnp.asarray(_band_matrix(H, radius_h))
+        y = jnp.einsum("hH,NHWC->NhWC", Bh, y,
+                       preferred_element_type=jnp.float32)
+    if radius_w > 0:
+        Bw = jnp.asarray(_band_matrix(W, radius_w))
+        y = jnp.einsum("wW,NHWC->NHwC", Bw, y,
+                       preferred_element_type=jnp.float32)
+    return (y > 0.0).astype(mask.dtype)

@@ -235,6 +235,10 @@ class StepBuilder:
         # pass (jax.checkpoint) — trades FLOPs for HBM, enabling 640^2
         # training batches on a 16GB chip
         self.remat = bool(opts.get("tpu", {}).get("remat", False))
+        # rematerializing the D step trades ~12% step time for the HBM to
+        # fit one more sample per domain at 640^2 (measured: b3 fits but
+        # 7.6 img/s vs 8.5 at b2) — separate knob, off by default
+        self.remat_d = bool(opts.get("tpu", {}).get("remat_d", False))
         # gradient accumulation (greenfield — the reference has none,
         # SURVEY §2.4): split each domain batch into k micro-batches,
         # average grads over a lax.scan, one optimizer step
@@ -842,67 +846,83 @@ class StepBuilder:
         G to eval (trainer.py:1017-1160)."""
         rng, new_rng = jax.random.split(state.rng)
 
+        def painter_d_losses(d_params, dbatch, gstate, dstate):
+            d_vars = _merge_vars(d_params, dstate)
+            dv = dict(d_vars)
+
+            def dapply(method, inp):
+                out, new_state = self.D.apply(
+                    dv, inp, method=method, update_sn=True,
+                    mutable=["spectral"],
+                )
+                dv.update(new_state)
+                return out
+
+            cdtype = jnp.bfloat16 if self.cfg.bf16 else jnp.float32
+            x = dbatch["x"].astype(cdtype)
+            m = dbatch["m"].astype(cdtype)
+            g_vars = _merge_vars(state.g_params, gstate)
+            fake, pstate = self._paint(g_vars, x, m, rng, update_sn=True)
+            fake = jax.lax.stop_gradient(fake)
+            new_gstate = ({**gstate, **pstate} if pstate is not None
+                          else gstate)
+            x = x.astype(jnp.float32)
+            m = m.astype(jnp.float32)
+            fake = fake.astype(jnp.float32)
+            if self.cfg.p_diff_aug_use:
+                k1, k2 = jax.random.split(jax.random.fold_in(rng, 7))
+                fake = self._diff_aug(k1, fake)
+                x = self._diff_aug(k2, x)
+            if self.cfg.p_use_local:
+                # reference trainer.py:1088-1107
+                fdg = dapply("disc_p_global", fake)
+                rdg = dapply("disc_p_global", x)
+                fdl = dapply("disc_p_local", fake * m)
+                rdl = dapply("disc_p_local", x * m)
+                dl = (self._p_gan_loss(fdg, False, rng, True)
+                      + self._p_gan_loss(rdg, True, rng, True)
+                      + self._p_gan_loss(fdl, False, rng, True)
+                      + self._p_gan_loss(rdl, True, rng, True))
+            else:
+                real_fake = jnp.concatenate(
+                    [jnp.concatenate([m, x], axis=-1),
+                     jnp.concatenate([m, fake], axis=-1)], axis=0
+                )
+                pred = dapply("disc_p", real_fake)
+                real_d, fake_d = divide_pred(pred)
+                dl = self._p_gan_loss(fake_d, False, rng, True)
+                dl += self._p_gan_loss(real_d, True, rng, True)
+            return dl, new_gstate, _state_of(dv)
+
+        def masker_d_losses(d_params, dbatch, gstate, dstate, domain):
+            g_vars = _merge_vars(state.g_params, gstate)
+            d_vars = _merge_vars(d_params, dstate)
+            return self._masker_losses(
+                g_vars, d_vars, dbatch, domain, "D", rng,
+                mutable=True, d_mutable=True,
+            )
+
+        if self.remat_d:
+            painter_d_losses = jax.checkpoint(painter_d_losses)
+            masker_d_losses = jax.checkpoint(
+                masker_d_losses, static_argnums=(4,)
+            )
+
         def loss_fn(d_params, batch):
             cur_gstate = state.g_state
             cur_dstate = state.d_state
             total = 0.0
             metrics = {}
             for domain, dbatch in batch.items():
-                d_vars = _merge_vars(d_params, cur_dstate)
                 if domain == "rf" and "p" in self.cfg.tasks:
-                    dv = dict(d_vars)
-
-                    def dapply(method, inp):
-                        out, new_state = self.D.apply(
-                            dv, inp, method=method, update_sn=True,
-                            mutable=["spectral"],
-                        )
-                        dv.update(new_state)
-                        return out
-
-                    cdtype = jnp.bfloat16 if self.cfg.bf16 else jnp.float32
-                    x = dbatch["x"].astype(cdtype)
-                    m = dbatch["m"].astype(cdtype)
-                    g_vars = _merge_vars(state.g_params, cur_gstate)
-                    fake, pstate = self._paint(g_vars, x, m, rng,
-                                               update_sn=True)
-                    fake = jax.lax.stop_gradient(fake)
-                    if pstate is not None:
-                        cur_gstate = {**cur_gstate, **pstate}
-                    x = x.astype(jnp.float32)
-                    m = m.astype(jnp.float32)
-                    fake = fake.astype(jnp.float32)
-                    if self.cfg.p_diff_aug_use:
-                        k1, k2 = jax.random.split(jax.random.fold_in(rng, 7))
-                        fake = self._diff_aug(k1, fake)
-                        x = self._diff_aug(k2, x)
-                    if self.cfg.p_use_local:
-                        # reference trainer.py:1088-1107
-                        fdg = dapply("disc_p_global", fake)
-                        rdg = dapply("disc_p_global", x)
-                        fdl = dapply("disc_p_local", fake * m)
-                        rdl = dapply("disc_p_local", x * m)
-                        dl = (self._p_gan_loss(fdg, False, rng, True)
-                              + self._p_gan_loss(rdg, True, rng, True)
-                              + self._p_gan_loss(fdl, False, rng, True)
-                              + self._p_gan_loss(rdl, True, rng, True))
-                    else:
-                        real_fake = jnp.concatenate(
-                            [jnp.concatenate([m, x], axis=-1),
-                             jnp.concatenate([m, fake], axis=-1)], axis=0
-                        )
-                        pred = dapply("disc_p", real_fake)
-                        real_d, fake_d = divide_pred(pred)
-                        dl = self._p_gan_loss(fake_d, False, rng, True)
-                        dl += self._p_gan_loss(real_d, True, rng, True)
+                    dl, cur_gstate, cur_dstate = painter_d_losses(
+                        d_params, dbatch, cur_gstate, cur_dstate
+                    )
                     total += dl
                     metrics["D_p_gan"] = dl
-                    cur_dstate = _state_of(dv)
                 elif domain in ("r", "s"):
-                    g_vars = _merge_vars(state.g_params, cur_gstate)
-                    dl, dm, gs, ds = self._masker_losses(
-                        g_vars, d_vars, dbatch, domain, "D", rng,
-                        mutable=True, d_mutable=True,
+                    dl, dm, gs, ds = masker_d_losses(
+                        d_params, dbatch, cur_gstate, cur_dstate, domain
                     )
                     if gs is not None:
                         cur_gstate = gs
