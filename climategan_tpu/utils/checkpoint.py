@@ -76,21 +76,30 @@ def restore_checkpoint(directory, target_state) -> Tuple[Optional[object], int]:
         meta = json.load(f)
     ckptr = ocp.StandardCheckpointer()
     host_target = _to_host(target_state)
-    restored = ckptr.restore(Path(meta["latest"]).resolve(), host_target)
 
     def paths(tree):
         flat, _ = jax.tree_util.tree_flatten_with_path(tree)
         return [jax.tree_util.keystr(p) for p, _ in flat]
 
-    got, want = paths(restored), paths(host_target)
-    if got != want:
-        missing = sorted(set(want) - set(got))[:8]
-        extra = sorted(set(got) - set(want))[:8]
-        raise ValueError(
+    def mismatch_error(saved_tree):
+        got, want = set(paths(saved_tree)), set(paths(host_target))
+        missing = sorted(want - got)[:8]
+        extra = sorted(got - want)[:8]
+        return ValueError(
             f"checkpoint structure mismatch vs current model: "
             f"missing={missing} extra={extra} "
             f"(saved at {meta['latest']})"
         )
+
+    try:
+        restored = ckptr.restore(Path(meta["latest"]).resolve(), host_target)
+    except Exception:
+        # orbax raises opaque errors on tree-structure drift; re-read the
+        # raw tree to produce an actionable key-path diff
+        raw = ckptr.restore(Path(meta["latest"]).resolve())
+        raise mismatch_error(raw) from None
+    if paths(restored) != paths(host_target):
+        raise mismatch_error(restored)
     restored = jax.tree_util.tree_map(jax.numpy.asarray, restored)
     restored = jax.tree_util.tree_unflatten(
         jax.tree_util.tree_structure(target_state),

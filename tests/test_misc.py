@@ -234,3 +234,49 @@ def test_kitti_pretrain_loader_switch():
     assert t._epoch_loaders() == {"kitti": 4}
     t.kitti_pretrain = False
     assert set(t._epoch_loaders()) == {"r", "s", "rf"}
+
+
+def test_checkpoint_structure_mismatch_raises(tmp_path):
+    """Resuming into a drifted model structure must fail loudly with the
+    offending paths, not silently reassign leaves positionally."""
+    import pytest
+
+    from climategan_tpu.utils.checkpoint import (
+        restore_checkpoint,
+        save_checkpoint,
+    )
+
+    class FakeOpts(dict):
+        def __getattr__(self, k):
+            return self[k]
+
+    state = {"g_params": {"a": np.zeros(3), "b": np.ones(2)}}
+    save_checkpoint(tmp_path, state, epoch=0)
+
+    ok, epoch = restore_checkpoint(tmp_path, state)
+    assert epoch == 0 and np.allclose(ok["g_params"]["b"], 1.0)
+
+    drifted = {"g_params": {"a": np.zeros(3), "b": np.ones(2),
+                            "new_module": np.zeros(4)}}
+    with pytest.raises(ValueError, match="structure mismatch"):
+        restore_checkpoint(tmp_path, drifted)
+
+
+def test_pretrained_backbone_missing_file_raises():
+    import pytest
+
+    from climategan_tpu.utils.convert import maybe_load_pretrained_backbone
+    from climategan_tpu.utils.testing import tiny_opts
+
+    opts = tiny_opts(image_size=64)
+    opts.gen.encoder.architecture = "deeplabv3"
+    opts.gen.deeplabv3["use_pretrained"] = True
+    opts.gen.deeplabv3["pretrained_model"] = {"resnet": "/nope/missing.pth",
+                                              "mobilenet": ""}
+    with pytest.raises(FileNotFoundError):
+        maybe_load_pretrained_backbone(opts, {"params": {}})
+
+    # knob off -> no-op
+    opts.gen.deeplabv3["use_pretrained"] = False
+    _, loaded = maybe_load_pretrained_backbone(opts, {"params": {}})
+    assert not loaded

@@ -93,3 +93,19 @@ def test_painter_s2d_tail_matches_plain():
     got = packed.apply(variables, None, cond)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_flagship_painter_uses_s2d():
+    """Regression guard: the default (flagship) config must route the
+    painter tail through the s2d path (tpu.painter_s2d defaults on)."""
+    from climategan_tpu.models.generator import GenConfig
+    from climategan_tpu.utils.opts import load_opts
+
+    cfg = GenConfig.from_opts(load_opts())
+    assert cfg.p_s2d_tail
+    assert cfg.p_spade_param_free_norm == "instance"
+    assert not cfg.p_use_final_shortcut
+    assert cfg.p_spade_n_up >= 3
+
+    off = load_opts(commandline_opts=["tpu.painter_s2d=false"])
+    assert not GenConfig.from_opts(off).p_s2d_tail
