@@ -92,7 +92,15 @@ class Conv2dBlock(nn.Module):
             self.bias if post_norm != "batch" else False
         )
 
-        x = pad2d(x, self.padding, self.pad_type)
+        # 3x3 stride-1 reflect convs skip the padded-tensor materialization
+        # (zero-pad conv + exact border fixes, norms._conv3x3_reflect)
+        fused_reflect = (
+            self.pad_type == "reflect" and self.padding == 1
+            and self.kernel_size == 3 and self.stride == 1
+            and self.dilation == 1
+        )
+        if not fused_reflect:
+            x = pad2d(x, self.padding, self.pad_type)
         x = SNConv(
             features=self.output_dim,
             kernel_size=(self.kernel_size, self.kernel_size),
@@ -101,7 +109,7 @@ class Conv2dBlock(nn.Module):
             use_bias=use_bias,
             spectral=use_spectral,
             name="conv",
-        )(x, update_sn=update_sn)
+        )(x, update_sn=update_sn, reflect_pad=fused_reflect)
 
         if post_norm == "batch":
             x = BatchNorm(name="norm")(x, train=train)

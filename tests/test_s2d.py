@@ -109,3 +109,23 @@ def test_flagship_painter_uses_s2d():
 
     off = load_opts(commandline_opts=["tpu.painter_s2d=false"])
     assert not GenConfig.from_opts(off).p_s2d_tail
+
+
+def test_conv3x3_reflect_border_fix_exact():
+    """norms._conv3x3_reflect == conv over a reflect-padded tensor,
+    including corners."""
+    from climategan_tpu.models.norms import _conv3x3_reflect
+
+    rng = np.random.RandomState(6)
+    x = jnp.asarray(rng.randn(2, 10, 14, 5).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 5, 7).astype(np.float32))
+    b = jnp.asarray(rng.randn(7).astype(np.float32))
+
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+    want = jax.lax.conv_general_dilated(
+        xp, w, (1, 1), [(0, 0), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + b
+    got = _conv3x3_reflect(x, w, b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
