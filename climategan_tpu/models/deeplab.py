@@ -51,7 +51,12 @@ class ASPP(nn.Module):
         f3 = ConvBN(256, ks=3, dilation=12, padding=12, name="conv3")(x, train)
         f4 = ConvBN(256, ks=3, dilation=18, padding=18, name="conv4")(x, train)
         feat = jnp.concatenate([f1, f2, f3, f4], axis=-1)
-        return ConvBN(256, ks=1, padding=0, name="conv_out")(feat, train)
+        # the reference's conv_out is ConvBNReLU(1024, 256, ks=1) with the
+        # class's DEFAULT padding=1 (deeplab_v3.py:90 / :39-51): a 1x1 conv
+        # with padding, so ASPP emits (H+2, W+2) and the zero-padded border
+        # rides through BN and the align_corners upsample. Quirk preserved
+        # for checkpoint parity (caught by tests/test_full_reference_pipeline).
+        return ConvBN(256, ks=1, padding=1, name="conv_out")(feat, train)
 
 
 class DeepLabDecoder(nn.Module):
@@ -61,6 +66,13 @@ class DeepLabDecoder(nn.Module):
 
     @nn.compact
     def __call__(self, feat_low, feat_aspp, train: bool = False):
+        """Quirk preserved: the reference CALLS this as decoder(aspp_out,
+        z_low) (deeplab_v3.py:257) although the signature names suggest the
+        opposite (deeplab_v3.py:134) — so conv_low runs on the ASPP
+        features and the backbone low-level map is resized DOWN to the
+        (padded) ASPP grid. Callers here pass arguments in the reference's
+        call order: feat_low := ASPP output, feat_aspp := backbone z_low
+        (caught by tests/test_full_reference_pipeline)."""
         low = ConvBN(48, ks=1, padding=0, name="conv_low")(feat_low, train)
         up = resize(
             feat_aspp, (feat_low.shape[1], feat_low.shape[2]),
@@ -93,8 +105,9 @@ class DeepLabV3Decoder(nn.Module):
             z_high = z_high * z_depth
         if self.backbone == "resnet":
             feat = ASPP(name="aspp")(z_high, train=train)
+            # reference call order (deeplab_v3.py:257): decoder(aspp, z_low)
             s = DeepLabDecoder(self.num_classes, name="decoder")(
-                z_low, feat, train
+                feat, z_low, train
             )
         else:
             from climategan_tpu.models.mobilenet import DeepLabHead

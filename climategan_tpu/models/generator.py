@@ -37,6 +37,9 @@ class GenConfig:
     backbone: str = "resnet"  # resnet | mobilenet
     output_stride: int = 8
     encoder_layers: Tuple[int, ...] = (3, 4, 23, 3)
+    # v2 encoder trailing ResBlocks (reference deeplab/__init__.py:91 passes
+    # opts.gen.encoder.n_res, default 0 in defaults.yaml)
+    encoder_n_res: int = 0
     # depth head
     d_architecture: str = "dada"
     d_upsample_featuremaps: bool = True
@@ -90,6 +93,7 @@ class GenConfig:
             encoder_layers=tuple(
                 g.deeplabv2.get("nblocks", (3, 4, 23, 3)) or (3, 4, 23, 3)
             ),
+            encoder_n_res=int(g.encoder.get("n_res", 0) or 0),
             d_architecture=g.d.get("architecture", "dada"),
             d_upsample_featuremaps=bool(g.d.get("upsample_featuremaps", True)),
             d_target_size=d_size,
@@ -143,7 +147,8 @@ class OmniGenerator(nn.Module):
             if c.encoder_arch == "deeplabv2":
                 from climategan_tpu.models.deeplab_v2 import ResNetMultiV2
 
-                self.encoder = ResNetMultiV2(layers=c.encoder_layers)
+                self.encoder = ResNetMultiV2(layers=c.encoder_layers,
+                                             n_res=c.encoder_n_res)
             elif c.backbone == "mobilenet":
                 from climategan_tpu.models.mobilenet import MobileNetV2Encoder
 

@@ -289,6 +289,78 @@ def convert_seg_decoder(vt, sd, torch_prefix="decoders.s",
                       f"{torch_prefix}.decoder.conv_out")
 
 
+def convert_resnetmulti_v2(vt, sd, torch_prefix="encoder.model",
+                           flax_prefix=("encoder",), layers=(3, 4, 23, 3),
+                           n_res=0):
+    """DeeplabV2Encoder (reference deeplab/__init__.py:85-109 wrapping
+    resnetmulti_v2.ResNetMulti) -> ResNetMultiV2. Every stage-0 block has a
+    downsample (stride/inplanes/dilation conditions all trigger —
+    resnetmulti_v2.py:95-102)."""
+    assign_plain_conv(vt, flax_prefix + ("conv1",), sd,
+                      f"{torch_prefix}.conv1")
+    assign_bn(vt, flax_prefix + ("bn1",), sd, f"{torch_prefix}.bn1")
+    for stage, n in enumerate(layers):
+        for b in range(n):
+            assign_bottleneck(
+                vt, flax_prefix + (f"layer{stage + 1}_block{b}",), sd,
+                f"{torch_prefix}.layer{stage + 1}.{b}", b == 0,
+            )
+    for r in range(n_res):
+        for ci, cname in ((0, "conv1"), (1, "conv2")):
+            assign_conv2dblock(
+                vt, flax_prefix + ("layer_res", f"block{r}", cname), sd,
+                f"{torch_prefix}.layer_res.model.{r}.model.{ci}",
+                norm="none",  # instance norm: param-free
+            )
+
+
+def convert_v2_seg_decoder(vt, sd, torch_prefix="decoders.s",
+                           flax_prefix=("seg_decoder",),
+                           upsample_featuremaps=False):
+    """DeepLabV2Decoder (reference deeplab_v2.py:136-198) -> flax twin:
+    aspp1-4 + GAP branch + conv1/bn1, then the dropout head Sequential
+    (index shifted by 1 when upsample_featuremaps prepends the interp)."""
+    for i in (1, 2, 3, 4):
+        assign_plain_conv(vt, flax_prefix + (f"aspp{i}", "atrous_conv"), sd,
+                          f"{torch_prefix}.aspp.aspp{i}.atrous_conv")
+        assign_raw_bn(vt, flax_prefix + (f"aspp{i}", "bn", "BatchNorm_0"),
+                      sd, f"{torch_prefix}.aspp.aspp{i}.bn")
+    assign_plain_conv(vt, flax_prefix + ("gap_conv",), sd,
+                      f"{torch_prefix}.aspp.global_avg_pool.1")
+    assign_raw_bn(vt, flax_prefix + ("gap_bn", "BatchNorm_0"), sd,
+                  f"{torch_prefix}.aspp.global_avg_pool.2")
+    assign_plain_conv(vt, flax_prefix + ("conv1",), sd,
+                      f"{torch_prefix}.aspp.conv1")
+    assign_raw_bn(vt, flax_prefix + ("bn1", "BatchNorm_0"), sd,
+                  f"{torch_prefix}.aspp.bn1")
+    off = 1 if upsample_featuremaps else 0
+    for hi, name in ((0, "head0"), (4, "head1")):
+        assign_plain_conv(vt, flax_prefix + (name,), sd,
+                          f"{torch_prefix}.conv.{off + hi}")
+        assign_raw_bn(vt, flax_prefix + (f"{name}_bn", "BatchNorm_0"), sd,
+                      f"{torch_prefix}.conv.{off + hi + 1}")
+    assign_plain_conv(vt, flax_prefix + ("classifier",), sd,
+                      f"{torch_prefix}.conv.{off + 8}")
+
+
+def convert_mobilenet_seg_head(vt, sd, torch_prefix="decoders.s",
+                               flax_prefix=("seg_decoder",)):
+    """Runtime _DeepLabHead (reference deeplab_v3.py:13-30: two
+    SeparableConv2d + 1x1 classifier) -> DeepLabHead."""
+    def sep(prefix, tkey):
+        vt.set("params", prefix + ("depthwise", "kernel"),
+               conv_w(sd[f"{tkey}.block.depthwise.weight"]))
+        assign_bn(vt, prefix + ("bn_depth",), sd, f"{tkey}.block.bn_depth")
+        vt.set("params", prefix + ("pointwise", "kernel"),
+               conv_w(sd[f"{tkey}.block.pointwise.weight"]))
+        assign_bn(vt, prefix + ("bn_point",), sd, f"{tkey}.block.bn_point")
+
+    sep(flax_prefix + ("head", "sep0"), f"{torch_prefix}.head.block.0")
+    sep(flax_prefix + ("head", "sep1"), f"{torch_prefix}.head.block.1")
+    assign_plain_conv(vt, flax_prefix + ("head", "classifier"), sd,
+                      f"{torch_prefix}.head.block.2")
+
+
 def convert_mask_base_decoder(vt, sd, torch_prefix="decoders.m",
                               flax_prefix=("mask_decoder", "decoder"),
                               n_res=3, n_upsample=3, norm="spectral",
@@ -381,7 +453,17 @@ def convert_generator(variables: Dict, state_dict: Dict, cfg) -> Dict:
 
     vt = VariableTree(variables)
     if any(t in cfg.tasks for t in "msd"):
-        convert_resnet_encoder(vt, sd, layers=cfg.encoder_layers)
+        if cfg.encoder_arch == "deeplabv2":
+            convert_resnetmulti_v2(
+                vt, sd, layers=cfg.encoder_layers,
+                n_res=getattr(cfg, "encoder_n_res", 0),
+            )
+        elif cfg.backbone == "mobilenet":
+            enc_sd = {k[len("encoder."):]: v for k, v in sd.items()
+                      if k.startswith("encoder.")}
+            convert_mobilenet_encoder(vt, enc_sd)
+        else:
+            convert_resnet_encoder(vt, sd, layers=cfg.encoder_layers)
     if "d" in cfg.tasks and cfg.d_architecture == "dada":
         convert_dada_depth(
             vt, sd,
@@ -389,7 +471,12 @@ def convert_generator(variables: Dict, state_dict: Dict, cfg) -> Dict:
             upsample=cfg.d_upsample_featuremaps,
         )
     if "s" in cfg.tasks:
-        convert_seg_decoder(vt, sd)
+        if cfg.s_architecture == "deeplabv2" or cfg.encoder_arch == "deeplabv2":
+            convert_v2_seg_decoder(vt, sd)
+        elif cfg.backbone == "mobilenet":
+            convert_mobilenet_seg_head(vt, sd)
+        else:
+            convert_seg_decoder(vt, sd)
     if "m" in cfg.tasks and not cfg.m_use_spade:
         convert_mask_base_decoder(
             vt, sd, n_res=cfg.m_n_res, n_upsample=cfg.m_n_upsample,

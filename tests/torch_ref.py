@@ -187,7 +187,9 @@ class SegDecoder(nn.Module):
                 self.conv2 = ConvBN(2048, 256, 3, 6, 6)
                 self.conv3 = ConvBN(2048, 256, 3, 12, 12)
                 self.conv4 = ConvBN(2048, 256, 3, 18, 18)
-                self.conv_out = ConvBN(1024, 256, 1, 0)
+                # reference quirk: conv_out keeps ConvBNReLU's default
+                # padding=1 on a 1x1 conv (deeplab_v3.py:90), emitting H+2
+                self.conv_out = ConvBN(1024, 256, 1, 1)
 
             def forward(self, x):
                 f = torch.cat([self.conv1(x), self.conv2(x), self.conv3(x),
@@ -217,7 +219,9 @@ class SegDecoder(nn.Module):
         z_high, z_low = z
         if z_depth is not None:
             z_high = z_high * z_depth
-        s = self.decoder(z_low, self.aspp(z_high))
+        # reference quirk (deeplab_v3.py:257): decoder(aspp_out, z_low) —
+        # conv_low runs on ASPP features, z_low is resized to the ASPP grid
+        s = self.decoder(self.aspp(z_high), z_low)
         return F.interpolate(s, (self.target, self.target), mode="bilinear",
                              align_corners=True)
 
@@ -381,3 +385,200 @@ class TorchRefG(nn.Module):
     def paint(self, m, x):
         fake = self.painter(None, x * (1.0 - m))
         return x * (1.0 - m) + fake * m
+
+
+# ---------------------------------------------------------------------------
+# torchvision-format replicas for weight-loader round-trip tests.
+# VGG19: torchvision vgg19().features layout (conv indices 0,2,5,...,28).
+# Inception: pytorch-fid's FID InceptionV3 trunk to pool3 (reference
+# fid.py:22-331) — torchvision inception_v3 with the FID pooling patches
+# (avg pools are count_include_pad=False; Mixed_7c uses max pool).
+# ---------------------------------------------------------------------------
+
+
+def vgg19_features_torch():
+    """nn.Sequential with torchvision vgg19 'features' indices/keys."""
+    cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M",
+           512, 512, 512, 512, "M", 512, 512, 512, 512, "M"]
+    layers, cin = [], 3
+    for v in cfg:
+        if v == "M":
+            layers.append(nn.MaxPool2d(2, 2))
+        else:
+            layers += [nn.Conv2d(cin, v, 3, padding=1), nn.ReLU(False)]
+            cin = v
+    return nn.Sequential(*layers)
+
+
+class Vgg19SlicesTorch(nn.Module):
+    """pix2pixHD slice outputs (reference losses.py:304-337): ends after
+    features[1], [6], [11], [20], [29]."""
+
+    def __init__(self):
+        super().__init__()
+        self.features = vgg19_features_torch()
+        self.marks = [2, 7, 12, 21, 30]
+
+    def forward(self, x):
+        outs, start = [], 0
+        for end in self.marks:
+            for i in range(start, end):
+                x = self.features[i](x)
+            outs.append(x)
+            start = end
+        return outs
+
+
+class _IConvBN(nn.Module):
+    def __init__(self, cin, cout, ks, stride=1, padding=0):
+        super().__init__()
+        self.conv = nn.Conv2d(cin, cout, ks, stride, padding, bias=False)
+        self.bn = nn.BatchNorm2d(cout, eps=0.001)
+
+    def forward(self, x):
+        return F.relu(self.bn(self.conv(x)))
+
+
+def _avgp(x):  # FID patch: count_include_pad=False
+    return F.avg_pool2d(x, 3, 1, 1, count_include_pad=False)
+
+
+class _IncA(nn.Module):
+    def __init__(self, cin, pool_features):
+        super().__init__()
+        self.branch1x1 = _IConvBN(cin, 64, 1)
+        self.branch5x5_1 = _IConvBN(cin, 48, 1)
+        self.branch5x5_2 = _IConvBN(48, 64, 5, padding=2)
+        self.branch3x3dbl_1 = _IConvBN(cin, 64, 1)
+        self.branch3x3dbl_2 = _IConvBN(64, 96, 3, padding=1)
+        self.branch3x3dbl_3 = _IConvBN(96, 96, 3, padding=1)
+        self.branch_pool = _IConvBN(cin, pool_features, 1)
+
+    def forward(self, x):
+        return torch.cat([
+            self.branch1x1(x),
+            self.branch5x5_2(self.branch5x5_1(x)),
+            self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x))),
+            self.branch_pool(_avgp(x)),
+        ], 1)
+
+
+class _IncB(nn.Module):
+    def __init__(self, cin):
+        super().__init__()
+        self.branch3x3 = _IConvBN(cin, 384, 3, stride=2)
+        self.branch3x3dbl_1 = _IConvBN(cin, 64, 1)
+        self.branch3x3dbl_2 = _IConvBN(64, 96, 3, padding=1)
+        self.branch3x3dbl_3 = _IConvBN(96, 96, 3, stride=2)
+
+    def forward(self, x):
+        return torch.cat([
+            self.branch3x3(x),
+            self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x))),
+            F.max_pool2d(x, 3, 2),
+        ], 1)
+
+
+class _IncC(nn.Module):
+    def __init__(self, cin, c7):
+        super().__init__()
+        self.branch1x1 = _IConvBN(cin, 192, 1)
+        self.branch7x7_1 = _IConvBN(cin, c7, 1)
+        self.branch7x7_2 = _IConvBN(c7, c7, (1, 7), padding=(0, 3))
+        self.branch7x7_3 = _IConvBN(c7, 192, (7, 1), padding=(3, 0))
+        self.branch7x7dbl_1 = _IConvBN(cin, c7, 1)
+        self.branch7x7dbl_2 = _IConvBN(c7, c7, (7, 1), padding=(3, 0))
+        self.branch7x7dbl_3 = _IConvBN(c7, c7, (1, 7), padding=(0, 3))
+        self.branch7x7dbl_4 = _IConvBN(c7, c7, (7, 1), padding=(3, 0))
+        self.branch7x7dbl_5 = _IConvBN(c7, 192, (1, 7), padding=(0, 3))
+        self.branch_pool = _IConvBN(cin, 192, 1)
+
+    def forward(self, x):
+        b7 = self.branch7x7_3(self.branch7x7_2(self.branch7x7_1(x)))
+        bd = self.branch7x7dbl_5(self.branch7x7dbl_4(self.branch7x7dbl_3(
+            self.branch7x7dbl_2(self.branch7x7dbl_1(x)))))
+        return torch.cat([
+            self.branch1x1(x), b7, bd, self.branch_pool(_avgp(x))], 1)
+
+
+class _IncD(nn.Module):
+    def __init__(self, cin):
+        super().__init__()
+        self.branch3x3_1 = _IConvBN(cin, 192, 1)
+        self.branch3x3_2 = _IConvBN(192, 320, 3, stride=2)
+        self.branch7x7x3_1 = _IConvBN(cin, 192, 1)
+        self.branch7x7x3_2 = _IConvBN(192, 192, (1, 7), padding=(0, 3))
+        self.branch7x7x3_3 = _IConvBN(192, 192, (7, 1), padding=(3, 0))
+        self.branch7x7x3_4 = _IConvBN(192, 192, 3, stride=2)
+
+    def forward(self, x):
+        return torch.cat([
+            self.branch3x3_2(self.branch3x3_1(x)),
+            self.branch7x7x3_4(self.branch7x7x3_3(self.branch7x7x3_2(
+                self.branch7x7x3_1(x)))),
+            F.max_pool2d(x, 3, 2),
+        ], 1)
+
+
+class _IncE(nn.Module):
+    def __init__(self, cin, pool="avg"):
+        super().__init__()
+        self.pool = pool
+        self.branch1x1 = _IConvBN(cin, 320, 1)
+        self.branch3x3_1 = _IConvBN(cin, 384, 1)
+        self.branch3x3_2a = _IConvBN(384, 384, (1, 3), padding=(0, 1))
+        self.branch3x3_2b = _IConvBN(384, 384, (3, 1), padding=(1, 0))
+        self.branch3x3dbl_1 = _IConvBN(cin, 448, 1)
+        self.branch3x3dbl_2 = _IConvBN(448, 384, 3, padding=1)
+        self.branch3x3dbl_3a = _IConvBN(384, 384, (1, 3), padding=(0, 1))
+        self.branch3x3dbl_3b = _IConvBN(384, 384, (3, 1), padding=(1, 0))
+        self.branch_pool = _IConvBN(cin, 192, 1)
+
+    def forward(self, x):
+        b3 = self.branch3x3_1(x)
+        b3 = torch.cat([self.branch3x3_2a(b3), self.branch3x3_2b(b3)], 1)
+        bd = self.branch3x3dbl_2(self.branch3x3dbl_1(x))
+        bd = torch.cat([self.branch3x3dbl_3a(bd), self.branch3x3dbl_3b(bd)], 1)
+        bp = (_avgp(x) if self.pool == "avg"
+              else F.max_pool2d(x, 3, 1, 1))
+        return torch.cat([
+            self.branch1x1(x), b3, bd, self.branch_pool(bp)], 1)
+
+
+class FIDInceptionTorch(nn.Module):
+    """pytorch-fid InceptionV3 trunk to the 2048-d pool3 features, with
+    torchvision state-dict keys (Conv2d_1a_3x3..., Mixed_7c...)."""
+
+    def __init__(self):
+        super().__init__()
+        self.Conv2d_1a_3x3 = _IConvBN(3, 32, 3, stride=2)
+        self.Conv2d_2a_3x3 = _IConvBN(32, 32, 3)
+        self.Conv2d_2b_3x3 = _IConvBN(32, 64, 3, padding=1)
+        self.Conv2d_3b_1x1 = _IConvBN(64, 80, 1)
+        self.Conv2d_4a_3x3 = _IConvBN(80, 192, 3)
+        self.Mixed_5b = _IncA(192, 32)
+        self.Mixed_5c = _IncA(256, 64)
+        self.Mixed_5d = _IncA(288, 64)
+        self.Mixed_6a = _IncB(288)
+        self.Mixed_6b = _IncC(768, 128)
+        self.Mixed_6c = _IncC(768, 160)
+        self.Mixed_6d = _IncC(768, 160)
+        self.Mixed_6e = _IncC(768, 192)
+        self.Mixed_7a = _IncD(768)
+        self.Mixed_7b = _IncE(1280, pool="avg")
+        self.Mixed_7c = _IncE(2048, pool="max")
+
+    def forward(self, x):
+        x = self.Conv2d_1a_3x3(x)
+        x = self.Conv2d_2a_3x3(x)
+        x = self.Conv2d_2b_3x3(x)
+        x = F.max_pool2d(x, 3, 2)
+        x = self.Conv2d_3b_1x1(x)
+        x = self.Conv2d_4a_3x3(x)
+        x = F.max_pool2d(x, 3, 2)
+        for blk in (self.Mixed_5b, self.Mixed_5c, self.Mixed_5d,
+                    self.Mixed_6a, self.Mixed_6b, self.Mixed_6c,
+                    self.Mixed_6d, self.Mixed_6e, self.Mixed_7a,
+                    self.Mixed_7b, self.Mixed_7c):
+            x = blk(x)
+        return x.mean(dim=(2, 3))
