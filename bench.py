@@ -6,11 +6,18 @@ Runs on whatever accelerator JAX sees (the driver runs it on a real TPU
 chip). Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
 
-vs_baseline: the reference repo publishes no numbers (BASELINE.md). We
-compare against a documented engineering estimate of the PyTorch reference
-at fp16 on a V100 (~12 img/s for the full flood path at 640^2 — see
-BASELINE.md "North-star"); the driver goal of ">= 2x V100" therefore reads
-as vs_baseline >= 2.0.
+vs_baseline: the reference repo publishes no numbers (BASELINE.md), so two
+baselines are reported:
+  * vs_baseline — against the documented engineering estimate of the
+    PyTorch reference at fp16 on a V100 (~12 img/s full flood at 640^2,
+    BASELINE.md "North-star"); the driver goal of ">= 2x V100" reads as
+    vs_baseline >= 2.0. Labeled an estimate: no V100 exists here.
+  * MEASURED same-host baseline — scripts/bench_reference_torch.py runs
+    the reference's own Timer harness (apply_events.py:356-374) and this
+    framework on the SAME CPU (BASELINE config 1: batch 1 fp32 640^2
+    flood; stage-by-stage table in BENCH_NOTES.md "Round 3"). That
+    measured torch-vs-jax ratio is reported as measured_cpu_speedup when
+    BENCH_NOTES records it.
 """
 from __future__ import annotations
 
@@ -143,6 +150,21 @@ def main():
     n_dev = max(1, len(jax.devices()))
     per_chip = imgs_per_sec / n_chips
 
+    measured = {}
+    try:  # measured same-host CPU baseline, if recorded (see docstring)
+        from pathlib import Path
+
+        mp = Path(__file__).parent / "BASELINE_MEASURED.json"
+        if mp.exists():
+            mj = json.loads(mp.read_text())
+            measured = {
+                "measured_cpu_speedup_all_events":
+                    mj.get("measured_cpu_speedup_all_events"),
+                "measured_baseline_config": mj.get("config"),
+            }
+    except Exception:
+        measured = {}
+
     result = {
         "metric": (
             f"images/sec/chip at {args.size}x{args.size} "
@@ -151,6 +173,7 @@ def main():
         "value": round(per_chip, 3),
         "unit": "images/sec/chip",
         "vs_baseline": round(per_chip / REF_V100_IMGS_PER_SEC, 3),
+        **measured,
         "p50_batch_latency_s": round(p50, 4),
         "wall_imgs_per_sec": round(args.batch * args.iters / wall, 3),
         "batch": args.batch,
