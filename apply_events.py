@@ -36,6 +36,8 @@ def parse_args():
                    help="Keep aspect ratio, round dims to multiples of 128")
     p.add_argument("--max_im_width", type=int, default=-1)
     p.add_argument("--no_cloudy", action="store_true")
+    p.add_argument("--no_native", action="store_true",
+                   help="disable the C++ host-preprocessing fast path")
     p.add_argument("--no_overlap", action="store_true",
                    help="serialize device compute and host writes (exact "
                         "per-stage timings; default overlaps them)")
@@ -165,16 +167,24 @@ def main():
     with Timer(store=stores["data pre-processing"]):
         from concurrent.futures import ThreadPoolExecutor
 
+        from climategan_tpu.utils import native
+
+        use_native = native.available() and not args.no_native
+
         def prep(p):
             arr = cv2.imread(str(p), cv2.IMREAD_COLOR)[..., ::-1]
             if args.keep_ratio_128:
                 arr = resize_keep_128(arr, args.max_im_width)
-            else:
-                arr = resize_and_crop(arr, 640)
-            return uint8_to_m11(arr)
+                return (native.pack_uint8_to_m11(arr) if use_native
+                        else uint8_to_m11(arr))
+            if use_native:
+                # C++ resize+center-crop+[-1,1] pack in one pass (no
+                # intermediate uint8 copy; releases the GIL)
+                return native.prepare_inference(arr, 640)
+            return uint8_to_m11(resize_and_crop(arr, 640))
 
-        # cv2 releases the GIL during decode/resize — a small pool overlaps
-        # file IO with decoding
+        # cv2/native release the GIL during decode/resize — a small pool
+        # overlaps file IO with decoding
         with ThreadPoolExecutor(max_workers=4) as ex:
             imgs = list(ex.map(prep, paths))
 

@@ -34,6 +34,10 @@ def main():
     ap.add_argument("--remat", action="store_true",
                     help="rematerialize forward activations (fits larger "
                          "batches in HBM)")
+    ap.add_argument("--mesh", action="store_true",
+                    help="data-parallel training over all visible devices "
+                         "(per-domain batch sharded; params replicated; "
+                         "XLA inserts the gradient psum over ICI)")
     args = ap.parse_args()
 
     from climategan_tpu.train_step import StepBuilder
@@ -68,7 +72,21 @@ def main():
 
     print("initializing...", file=sys.stderr)
     state = builder.init_state(rng, batch)
-    batch = jax.device_put(batch)
+    n_chips = 1
+    if args.mesh and len(jax.devices()) > 1:
+        from climategan_tpu.parallel.mesh import (
+            make_mesh, replicate, shard_batch,
+        )
+
+        n_chips = max(d for d in range(1, len(jax.devices()) + 1)
+                      if args.batch % d == 0)
+        mesh = make_mesh(n_chips)
+        state = replicate(mesh, state)
+        batch = shard_batch(mesh, batch)
+        print(f"data-parallel training over {n_chips} devices",
+              file=sys.stderr)
+    else:
+        batch = jax.device_put(batch)
     step = jax.jit(builder.train_step, donate_argnums=(0,))
 
     print("compiling train step...", file=sys.stderr)
@@ -89,7 +107,9 @@ def main():
     print(json.dumps({
         "metric": f"train images/sec/chip at {size}x{size} "
                   "(G+D ExtraAdam step, 3 domains)",
-        "value": round(imgs / p50, 3),
+        "value": round(imgs / p50 / n_chips, 3),
+        "n_devices": n_chips,
+        "global_imgs_per_sec": round(imgs / p50, 3),
         "unit": "images/sec/chip",
         "vs_baseline": 0,
         "p50_step_latency_s": round(p50, 4),

@@ -319,8 +319,14 @@ class StepBuilder:
     # ------------------------------------------------------------------
     def _masker_losses(self, g_vars, d_vars, batch, domain, for_, rng,
                        mutable, eval_mode: bool = False,
-                       d_mutable: bool = False):
+                       d_mutable: bool = False, pseudo_scale=1.0):
         """Masker losses for one domain batch.
+
+        ``pseudo_scale`` is a TRACED 1/0 scalar multiplying only the
+        pseudo-label loss terms (depth/seg supervision on the real domain):
+        the reference clears pseudo_training_tasks after train.pseudo.epochs
+        (trainer.py:920-922); gating by a traced scalar keeps one compiled
+        graph across the phase flip instead of recompiling the step.
 
         Returns ``(loss, metrics, new_gstate, new_dstate)``. State threading
         matches the reference, where G stays in train mode during BOTH
@@ -399,6 +405,8 @@ class StepBuilder:
                         gmweight=cfg.lam_d_gml,
                     )
                 dl = dl * cfg.lam_d_main
+                if domain != "s":  # pseudo-label supervision on real domain
+                    dl = dl * pseudo_scale
                 total += dl
                 metrics[f"d_{domain}"] = dl
 
@@ -417,6 +425,8 @@ class StepBuilder:
                         sl = L.cross_entropy(
                             s_pred.astype(jnp.float32), batch["s"]
                         ) * w
+                        if domain != "s":  # pseudo-label supervision
+                            sl = sl * pseudo_scale
                         total += sl
                         metrics[f"s_crossent_{domain}"] = sl
                 if domain == "r" and cfg.s_use_minent and cfg.lam_s_minent != 0:
@@ -754,7 +764,8 @@ class StepBuilder:
                 jax.tree_util.tree_map(lambda t: t * inv, g))
 
     def g_step(self, state: TrainState, batch: Dict[str, Dict[str, Array]],
-               lr_scale) -> Tuple[TrainState, Dict[str, Array]]:
+               lr_scale, pseudo_scale=1.0
+               ) -> Tuple[TrainState, Dict[str, Array]]:
         """update_G: masker losses over r/s + painter loss over rf.
 
         G and D state collections (BatchNorm running stats, SpectralNorm
@@ -780,6 +791,7 @@ class StepBuilder:
                         _merge_vars(state.d_params, dstate),
                         dbatch, domain, "G", rng,
                         mutable=True, d_mutable=True,
+                        pseudo_scale=pseudo_scale,
                     )
 
                 if self.remat:
@@ -965,10 +977,14 @@ class StepBuilder:
             step=state.step + 1,
         ), metrics
 
-    def train_step(self, state, batch, g_lr_scale=1.0, d_lr_scale=1.0):
+    def train_step(self, state, batch, g_lr_scale=1.0, d_lr_scale=1.0,
+                   pseudo_scale=1.0):
         """One full step: update_G then update_D (reference run_epoch
-        :924-981); jit/shard-ready."""
-        state, g_metrics = self.g_step(state, batch, g_lr_scale)
+        :924-981); jit/shard-ready. ``pseudo_scale`` gates the pseudo-label
+        losses (1.0 while epoch < train.pseudo.epochs, then 0.0 — reference
+        trainer.py:920-922) as a traced scalar: no recompile at the flip."""
+        state, g_metrics = self.g_step(state, batch, g_lr_scale,
+                                       pseudo_scale)
         state, d_metrics = self.d_step(state, batch, d_lr_scale)
         return state, {**g_metrics, **d_metrics}
 

@@ -42,7 +42,10 @@ class Trainer:
         self.state: Optional[TrainState] = None
         self.mesh = None
         self._train_step = None
-        self._infer_fn = None
+        # fused inference graphs keyed on (dtype, bin_value, cloudy,
+        # ignore_event) — infer_all knobs select distinct XLA graphs, so a
+        # single cached fn would silently ignore later knob changes
+        self._infer_fns: Dict[tuple, object] = {}
         self.G = None
         self.current_epoch = 0
 
@@ -55,11 +58,9 @@ class Trainer:
         self.G = create_generator(self.opts)
 
         if inference:
-            dtype = (jnp.bfloat16
-                     if self.opts.tpu.get("inference_dtype", "bfloat16")
-                     == "bfloat16" else jnp.float32)
-            _, self._infer_fn = build_infer_fn(self.opts, dtype=dtype,
-                                               donate=False)
+            # pre-build the default graph (warm compile); infer_all rebuilds
+            # keyed on its knobs if called with different ones
+            self._get_infer_fn()
             self.is_setup = True
             return self
 
@@ -91,6 +92,25 @@ class Trainer:
             self.logger.print(f"architecture dump failed: {e}")
         self.is_setup = True
         return self
+
+    def _get_infer_fn(self, bin_value: float = 0.5, cloudy: bool = True,
+                      ignore_event: tuple = ()):
+        """Fused inference graph for a knob combination, built once per
+        combination (reference infer_all re-branches at runtime,
+        trainer.py:217-334; under jit each combination is its own graph —
+        a single cached fn would silently ignore later knob changes)."""
+        dtype = (jnp.bfloat16
+                 if self.opts.tpu.get("inference_dtype", "bfloat16")
+                 == "bfloat16" else jnp.float32)
+        key = (dtype.__name__, float(bin_value), bool(cloudy),
+               tuple(sorted(ignore_event)))
+        if key not in self._infer_fns:
+            _, fn = build_infer_fn(
+                self.opts, dtype=dtype, bin_value=bin_value, cloudy=cloudy,
+                ignore_event=tuple(sorted(ignore_event)), donate=False,
+            )
+            self._infer_fns[key] = fn
+        return self._infer_fns[key]
 
     def _maybe_pretrained_backbone(self, state):
         """Initialize the encoder (and v3 seg decoder) from pretrained
@@ -152,17 +172,28 @@ class Trainer:
             return {"kitti": train["kitti"]}
         return {k: v for k, v in train.items() if k != "kitti"}
 
+    def pseudo_scale(self, epoch: int) -> float:
+        """1.0 while pseudo-label training is active, 0.0 after
+        train.pseudo.epochs (reference trainer.py:920-922 clears
+        pseudo_training_tasks at epoch == pseudo.epochs - 1; -1 = never)."""
+        pseudo = self.opts.train.get("pseudo", {}) or {}
+        if not (pseudo.get("tasks") or []):
+            return 0.0
+        n = int(pseudo.get("epochs", -1))
+        return 1.0 if (n < 0 or epoch < n) else 0.0
+
     def run_epoch(self):
         epoch = self.current_epoch
         g_scale = self.g_sched(epoch)
         d_scale = self.d_sched(epoch)
+        p_scale = self.pseudo_scale(epoch)
         t0 = time.time()
         n_steps = 0
         for tup in zip(*self._epoch_loaders().values()):
             batch = {item["domain"]: item["data"] for item in tup}
             batch = shard_batch(self.mesh, batch)
             self.state, metrics = self._train_step(
-                self.state, batch, g_scale, d_scale
+                self.state, batch, g_scale, d_scale, p_scale
             )
             n_steps += 1
             self.logger.log_step(self.global_step, metrics)
@@ -271,18 +302,23 @@ class Trainer:
             n += 1
         metrics.update({k: v / max(n, 1) for k, v in accum.items()})
 
-        # validation losses (reference reuses get_G_loss over val loaders);
-        # computed once on a single zipped batch
+        # validation losses: reference averages get_G_loss over the FULL
+        # zipped val loaders (trainer.py:1653-1704 sum_dict/div_dict), not
+        # one batch — same here, one jitted eval_losses call per batch tuple
         if self.builder is not None:
             try:
-                val_batch = {
-                    item["domain"]: item["data"]
-                    for item in [next(iter(ld))
-                                 for ld in self.loaders["val"].values()]
-                }
-                losses = self.builder.eval_losses(self.state, val_batch)
-                metrics.update({k: float(np.asarray(v))
-                                for k, v in losses.items()})
+                loss_sums: Dict[str, float] = {}
+                n_loss_batches = 0
+                for tup in zip(*self.loaders["val"].values()):
+                    val_batch = {item["domain"]: item["data"]
+                                 for item in tup}
+                    losses = self.builder.eval_losses(self.state, val_batch)
+                    for k, v in losses.items():
+                        loss_sums[k] = loss_sums.get(k, 0.0) + float(
+                            np.asarray(v))
+                    n_loss_batches += 1
+                metrics.update({k: v / max(n_loss_batches, 1)
+                                for k, v in loss_sums.items()})
             except Exception as e:
                 import traceback
 
@@ -431,7 +467,15 @@ class Trainer:
         x = jnp.concatenate(xs)[:n_images]
         m = jnp.concatenate(ms)[:n_images]
         g_vars = self._eval_g_vars()
-        fake = self.G.apply(g_vars, m, x, method="paint")
+        # paint in bounded batches: one G.apply over all n_images at 640^2
+        # would hold a ~n_images-deep activation set in HBM (VERDICT r2)
+        paint_bs = int(self.opts.train.fid.get("paint_batch_size", 8))
+        fakes = []
+        for i in range(0, x.shape[0], paint_bs):
+            fakes.append(self.G.apply(
+                g_vars, m[i:i + paint_bs], x[i:i + paint_bs],
+                method="paint"))
+        fake = jnp.concatenate(fakes)
         ev = FIDEvaluator(
             batch_size=int(self.opts.train.fid.get("batch_size", 50))
         )
@@ -557,18 +601,14 @@ class Trainer:
         """Full-event inference on an NHWC [-1,1] batch
         (reference trainer.py:217-334)."""
         assert self.is_setup
-        if self._infer_fn is None:
-            dtype = jnp.bfloat16
-            _, self._infer_fn = build_infer_fn(
-                self.opts, dtype=dtype, bin_value=bin_value, cloudy=cloudy,
-                ignore_event=tuple(ignore_event), donate=False,
-            )
+        infer_fn = self._get_infer_fn(bin_value=bin_value, cloudy=cloudy,
+                                      ignore_event=tuple(ignore_event))
         if variables is None:
             assert self.state is not None, "no weights loaded"
             variables = {"params": self.state.g_params, **self.state.g_state}
         rng = jax.random.PRNGKey(rng_seed)
         t0 = time.time()
-        out = self._infer_fn(variables, jnp.asarray(x), rng)
+        out = infer_fn(variables, jnp.asarray(x), rng)
         out = jax.block_until_ready(out)
         if stores is not None:
             stores.setdefault("all events", []).append(time.time() - t0)

@@ -1,0 +1,193 @@
+#!/usr/bin/env python
+"""Bootstrap ablation study: contribution of one masker technique.
+
+Port of reference figures/bootstrap_ablation.py (562 LoC): pairs of models
+that differ ONLY in one technique (depth / seg / dada_seg / dada_masker /
+spade / pseudo) are matched from the ablation CSV; per-image differences of
+the key metrics (f05, error, edge_coherence — eval_masker.py output) are
+pooled; a percentile bootstrap of the 20%-trimmed mean (plus mean/median)
+gives robust effect estimates, confidence intervals and a sign-test
+p-value; one density figure per metric is written with the CI band, the
+bootstrap mean, and the null annotated.
+
+Redesign notes: the bootstrap is a single vectorized numpy resample matrix
+((n_bs, n) choice + row-wise statistics) instead of the reference's
+1e6-iteration Python loop — same estimator, ~100x faster on this host; the
+figure is pure matplotlib (gaussian-KDE density via scipy) so it runs
+headless without seaborn.
+
+CSV schema (same as the reference's ablations_metrics_*.csv):
+  model_feats, img_idx, <technique flags: masker seg depth dada_seg
+  dada_masker spade pseudo ground instagan>, <metrics: f05 error
+  edge_coherence ...>
+
+Usage:
+  python scripts/bootstrap_ablation.py --input_csv metrics.csv \
+      --technique depth --output_dir out/ [--n_bs 100000] [--alpha 0.99]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+import numpy as np  # noqa: E402
+import pandas as pd  # noqa: E402
+from scipy.stats import gaussian_kde, trim_mean  # noqa: E402
+
+KEY_METRICS = ("f05", "error", "edge_coherence")
+MODEL_FEATS = ("masker", "seg", "depth", "dada_seg", "dada_masker",
+               "spade", "pseudo", "ground", "instagan")
+TECHNIQUES = {
+    "depth": "depth", "segmentation": "seg", "seg": "seg",
+    "dada_s": "dada_seg", "dada_seg": "dada_seg",
+    "dada_segmentation": "dada_seg", "dada_m": "dada_masker",
+    "dada_masker": "dada_masker", "spade": "spade", "pseudo": "pseudo",
+    "pseudo-labels": "pseudo", "pseudo_labels": "pseudo",
+}
+
+
+def find_model_pairs(df: pd.DataFrame, technique: str):
+    """(with, without) model_feats pairs differing only in `technique`
+    (reference bootstrap_ablation.py:462-492)."""
+    pairs = []
+    feats_of = {
+        mf: df.loc[df.model_feats == mf].iloc[0]
+        for mf in df.model_feats.unique()
+    }
+    for mi, row_i in feats_of.items():
+        if not row_i[technique]:
+            continue
+        for mj, row_j in feats_of.items():
+            if mj == mi or row_j[technique]:
+                continue
+            if all(row_i[f] == row_j[f]
+                   for f in MODEL_FEATS if f != technique):
+                pairs.append((mi, mj))
+                break
+    return pairs
+
+
+def paired_diffs(df: pd.DataFrame, pairs, metrics=KEY_METRICS):
+    """Pooled per-image (with - without) metric differences."""
+    data = {m: [] for m in metrics}
+    for m_with, m_without in pairs:
+        dw = df.loc[df.model_feats == m_with].sort_values(by="img_idx")
+        do = df.loc[df.model_feats == m_without].sort_values(by="img_idx")
+        for m in metrics:
+            data[m].extend((dw[m].values - do[m].values).tolist())
+    return {m: np.asarray(v, np.float64) for m, v in data.items()}
+
+
+def bootstrap(values: np.ndarray, n_bs: int, seed: int = 17,
+              batch: int = 20000):
+    """Percentile bootstrap of mean / median / 20%-trimmed mean, vectorized
+    in batches to bound memory. Returns dict measure -> (n_bs,) samples."""
+    rng = np.random.default_rng(seed)
+    n = len(values)
+    out = {m: np.empty(n_bs) for m in ("mean", "median", "20_trimmed_mean")}
+    done = 0
+    while done < n_bs:
+        b = min(batch, n_bs - done)
+        samples = values[rng.integers(0, n, size=(b, n))]
+        sl = slice(done, done + b)
+        out["mean"][sl] = samples.mean(axis=1)
+        out["median"][sl] = np.median(samples, axis=1)
+        out["20_trimmed_mean"][sl] = trim_mean(samples, 0.2, axis=1)
+        done += b
+    return out
+
+
+def plot_bootstrap_distr(sample_measure, bs_samples, alpha=0.99, null=0.0,
+                         title="", fontsize=11):
+    """Density of bootstrap estimates with CI band, mean line, and the
+    bootstrap p-value of the null (fraction of samples beyond 0)."""
+    bs_mean = float(np.mean(bs_samples))
+    bs_std = float(np.std(bs_samples))
+    lo = float(np.percentile(bs_samples, 100 * (1 - alpha) / 2))
+    hi = float(np.percentile(bs_samples, 100 * (1 + alpha) / 2))
+    # two-sided sign p-value of the null
+    p_low = float(np.mean(bs_samples <= null))
+    pval = 2.0 * min(p_low, 1.0 - p_low)
+
+    kde = gaussian_kde(bs_samples)
+    span = bs_samples.max() - bs_samples.min() or 1.0
+    xs = np.linspace(bs_samples.min() - 0.1 * span,
+                     bs_samples.max() + 0.1 * span, 512)
+    ys = kde(xs)
+
+    fig, ax = plt.subplots(figsize=(7, 4), dpi=150)
+    ax.plot(xs, ys, color="#0173b2", lw=1.5)
+    ci_mask = (xs >= lo) & (xs <= hi)
+    ax.fill_between(xs[ci_mask], 0, ys[ci_mask], color="#0173b2",
+                    alpha=0.25,
+                    label=f"{int(alpha * 100)}% CI [{lo:.4f}, {hi:.4f}]")
+    ax.axvline(bs_mean, color="k", lw=1.2,
+               label=f"bootstrap mean = {bs_mean:.4f}")
+    ax.axvline(null, color="#de8f05", lw=1.2, ls="--",
+               label=f"null = {null:g} (p = {pval:.4g})")
+    ax.axvline(sample_measure, color="#029e73", lw=1.0, ls=":",
+               label=f"sample estimate = {sample_measure:.4f}")
+    ax.legend(fontsize=0.8 * fontsize, loc="upper right")
+    ax.set_xlabel("Bootstrap estimates", fontsize=fontsize)
+    ax.set_ylabel("Density", fontsize=fontsize)
+    ax.set_title(title, fontsize=fontsize)
+    return fig, bs_mean, bs_std, (lo, hi), pval
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input_csv", required=True)
+    ap.add_argument("--output_dir", required=True)
+    ap.add_argument("--technique", required=True,
+                    choices=sorted(TECHNIQUES))
+    ap.add_argument("--n_bs", type=int, default=100_000)
+    ap.add_argument("--alpha", type=float, default=0.99)
+    ap.add_argument("--bs_seed", type=int, default=17)
+    ap.add_argument("--dpi", type=int, default=200)
+    args = ap.parse_args(argv)
+
+    technique = TECHNIQUES[args.technique.lower()]
+    out = Path(args.output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+
+    df = pd.read_csv(args.input_csv)
+    pairs = find_model_pairs(df, technique)
+    if not pairs:
+        raise SystemExit(f"no model pairs differ only in {technique!r}")
+    print(f"model pairs ({technique}):")
+    for a, b in pairs:
+        print(f"  {a} & {b}")
+
+    data = paired_diffs(df, pairs)
+    results = {}
+    for metric, values in data.items():
+        bs = bootstrap(values, args.n_bs, args.bs_seed)
+        sample_measure = float(trim_mean(values, 0.2))
+        fig, bs_mean, bs_std, ci, pval = plot_bootstrap_distr(
+            sample_measure, bs["20_trimmed_mean"], alpha=args.alpha,
+            title=f"{technique}: Δ{metric} (20% trimmed mean)")
+        fig_path = out / f"{technique}_bootstrap_{metric}_20_trimmed_mean.png"
+        fig.savefig(fig_path, dpi=args.dpi, bbox_inches="tight")
+        plt.close(fig)
+        results[metric] = {
+            "measure": "20_trimmed_mean",
+            "sample_measure": sample_measure,
+            "bs_mean": bs_mean, "bs_std": bs_std,
+            "ci_left": ci[0], "ci_right": ci[1], "pval": pval,
+            "n_diffs": int(len(values)), "figure": str(fig_path),
+        }
+        print(f"{metric}: {bs_mean:.5f} CI=[{ci[0]:.5f},{ci[1]:.5f}] "
+              f"p={pval:.4g}")
+    with open(out / f"{technique}_bootstrap.json", "w") as f:
+        json.dump({"args": vars(args), "pairs": pairs,
+                   "results": results}, f, indent=2)
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -34,3 +34,57 @@ def test_sharded_inference_matches_single_device():
         np.asarray(single["mask"]), np.asarray(sharded["mask"]),
         rtol=1e-5, atol=1e-5,
     )
+
+
+def test_sharded_training_matches_single_device():
+    """DP training analog (VERDICT r2 item 3): N steps of the full G+D
+    train step on a device mesh with the batch sharded must track the
+    single-device trajectory with the same GLOBAL batch — the sharding
+    layer (replicated params, XLA-inserted gradient psum, batch-global
+    reductions) cannot change the math.
+
+    Runs on a 2-device mesh: with 8 virtual devices on this 1-core host
+    the training graph's first all-reduce hits XLA:CPU's hard 40 s
+    rendezvous termination (all participants execute serially on one
+    core) and aborts the process. 2 participants validate the same DP
+    semantics; 8-device execution of the full step is covered by the
+    driver's dryrun_multichip and test_dryrun_multichip_8."""
+    from climategan_tpu.train_step import StepBuilder
+
+    from tests.test_train_step import _batch
+
+    opts = tiny_opts(image_size=64)
+    opts.train.bf16 = False  # f32 so the trajectories compare tightly
+    builder = StepBuilder(opts, vgg_variables=None)
+    rng = jax.random.PRNGKey(0)
+    batch = _batch(n=4)
+    state0 = builder.init_state(rng, batch)
+    step = jax.jit(builder.train_step)
+
+    s_single = state0
+    for _ in range(3):
+        s_single, m_single = step(s_single, batch)
+
+    mesh = make_mesh(2)
+    s_shard = replicate(mesh, state0)
+    sbatch = shard_batch(mesh, batch)
+    for _ in range(3):
+        s_shard, m_shard = step(s_shard, sbatch)
+
+    np.testing.assert_allclose(float(m_single["g_total"]),
+                               float(m_shard["g_total"]),
+                               rtol=5e-4, atol=5e-5)
+    np.testing.assert_allclose(float(m_single["d_total"]),
+                               float(m_shard["d_total"]),
+                               rtol=5e-4, atol=5e-5)
+    # parameter trajectories agree across all leaves after 3 G+D updates
+    la = jax.tree_util.tree_leaves(s_single.g_params)
+    lb = jax.tree_util.tree_leaves(s_shard.g_params)
+    worst = max(float(np.abs(np.asarray(a) - np.asarray(b)).max())
+                for a, b in zip(la, lb))
+    assert worst < 5e-4, f"g_params drifted by {worst}"
+    ld_a = jax.tree_util.tree_leaves(s_single.d_params)
+    ld_b = jax.tree_util.tree_leaves(s_shard.d_params)
+    worst_d = max(float(np.abs(np.asarray(a) - np.asarray(b)).max())
+                  for a, b in zip(ld_a, ld_b))
+    assert worst_d < 5e-4, f"d_params drifted by {worst_d}"

@@ -280,3 +280,65 @@ def test_pretrained_backbone_missing_file_raises():
     opts.gen.deeplabv3["use_pretrained"] = False
     _, loaded = maybe_load_pretrained_backbone(opts, {"params": {}})
     assert not loaded
+
+
+def test_train_cli_comet_lifecycle_offline(tmp_path):
+    """setup_comet (reference train.py:108-172 analog) must be a safe no-op
+    offline and record/recover experiment ids through the run dir when a
+    comet module is importable (faked here)."""
+    import sys
+    import types
+
+    from climategan_tpu.utils.opts import load_opts
+
+    import train as train_cli
+
+    opts = load_opts()
+    opts.output_path = str(tmp_path)
+    opts.comet = {"use": False}
+    assert train_cli.setup_comet(opts, resuming=False) is None
+
+    class FakeExp:
+        def __init__(self, **kw):
+            self.id = "exp123"
+            self.url = "http://comet/exp123"
+            self.assets = []
+            self.params = {}
+            self.tags = []
+
+        def log_asset_folder(self, p, **kw):
+            self.assets.append(p)
+
+        def log_asset(self, p):
+            self.assets.append(p)
+
+        def add_tags(self, tags):
+            self.tags += tags
+
+        def log_parameters(self, d):
+            self.params.update(d)
+
+    class FakeExisting(FakeExp):
+        def __init__(self, previous_experiment=None, **kw):
+            super().__init__()
+            self.id = previous_experiment
+
+    fake = types.ModuleType("comet_ml")
+    fake.Experiment = FakeExp
+    fake.ExistingExperiment = FakeExisting
+    old = sys.modules.get("comet_ml")
+    sys.modules["comet_ml"] = fake
+    try:
+        opts.comet = {"use": True, "tags": ["t1"]}
+        exp = train_cli.setup_comet(opts, resuming=False)
+        assert exp is not None and exp.assets  # sources uploaded
+        assert "t1" in exp.tags and exp.params
+        assert (tmp_path / "comet_id.txt").read_text() == "exp123"
+        # resume path recovers the recorded id
+        exp2 = train_cli.setup_comet(opts, resuming=True)
+        assert exp2.id == "exp123"
+    finally:
+        if old is not None:
+            sys.modules["comet_ml"] = old
+        else:
+            del sys.modules["comet_ml"]

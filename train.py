@@ -11,6 +11,49 @@ import sys
 from pathlib import Path
 
 
+def setup_comet(opts, resuming: bool):
+    """Comet experiment lifecycle (reference train.py:108-172): on resume,
+    recover the experiment id recorded in the run dir and continue it;
+    otherwise create a new experiment, upload the framework sources as
+    assets, tag it, log the flattened opts, and record the experiment
+    url+id in the run dir. Offline-safe: comet is optional and every
+    failure degrades to console/JSONL logging."""
+    if not opts.get("comet", {}).get("use"):
+        return None
+    out = Path(str(opts.output_path))
+    try:
+        import comet_ml
+
+        from climategan_tpu.utils.opts import flatten_opts
+
+        exp = None
+        id_file = out / "comet_id.txt"
+        if resuming and id_file.exists():
+            prev = id_file.read_text().strip()
+            if prev:
+                print(f"continuing comet experiment {prev}")
+                exp = comet_ml.ExistingExperiment(previous_experiment=prev)
+        if exp is None:
+            exp = comet_ml.Experiment(project_name="climategan_tpu")
+            pkg = Path(__file__).parent / "climategan_tpu"
+            exp.log_asset_folder(str(pkg), recursive=True,
+                                 log_file_name=True)
+            exp.log_asset(str(Path(__file__)))
+        tags = list(opts.get("comet", {}).get("tags") or [])
+        if tags:
+            exp.add_tags(tags)
+        exp.log_parameters(flatten_opts(opts))
+        try:
+            id_file.write_text(exp.id)
+            (out / "comet_url.txt").write_text(str(exp.url))
+        except Exception:
+            pass
+        return exp
+    except Exception as e:
+        print(f"comet disabled ({e}); logging to console/JSONL only")
+        return None
+
+
 def main(argv):
     from climategan_tpu.trainer import Trainer
     from climategan_tpu.utils.opts import (
@@ -49,14 +92,18 @@ def main(argv):
     write_job_id(out)
     print(f"output_path: {out}")
 
-    comet_exp = None
-    try:  # comet is optional; console/JSONL logging always works
-        if opts.get("comet", {}).get("use"):
-            import comet_ml
+    comet_exp = setup_comet(opts, resuming=bool(opts.train.get("resume")
+                                                or resume))
 
-            comet_exp = comet_ml.Experiment()
-    except Exception:
-        comet_exp = None
+    # persist the run's opts next to the checkpoints (reference
+    # train.py:170-172) so resume_from_path can rebuild the trainer
+    try:
+        import yaml
+
+        with (out / "opts.yaml").open("w") as f:
+            yaml.safe_dump(opts.to_dict(), f)
+    except Exception as e:
+        print(f"could not write opts.yaml: {e}")
 
     trainer = Trainer(opts, comet_exp=comet_exp)
     trainer.setup()
