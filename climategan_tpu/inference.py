@@ -40,14 +40,20 @@ def build_infer_fn(
     smog_opts = opts.events.get("smog", {}) or {}
 
     def infer(variables, x, rng):
-        # trace-time switch: with freeze_spectral the caller passes
-        # bake_spectral_norm(variables) and SNConv skips power iterations
-        from contextlib import nullcontext
+        # trace-time switches: with freeze_spectral the caller passes
+        # bake_spectral_norm(variables) and SNConv skips power iterations;
+        # on TPU the s2d-stage SPADE conditioning runs as the fused Pallas
+        # kernel (ops/pallas/spade.py, opts.tpu.pallas_spade)
+        from contextlib import ExitStack
 
-        from climategan_tpu.models.norms import frozen_spectral
+        from climategan_tpu.models.norms import frozen_spectral, pallas_spade
 
-        ctx = frozen_spectral() if freeze_spectral else nullcontext()
-        with ctx:
+        with ExitStack() as stack:
+            if freeze_spectral:
+                stack.enter_context(frozen_spectral())
+            if (jax.default_backend() == "tpu"
+                    and bool(opts.tpu.get("pallas_spade", False))):
+                stack.enter_context(pallas_spade())
             return _infer_body(variables, x, rng)
 
     def _infer_body(variables, x, rng):

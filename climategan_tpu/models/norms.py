@@ -25,6 +25,26 @@ def _l2normalize(v: jax.Array, eps: float = 1e-12) -> jax.Array:
 
 
 _SPECTRAL_FROZEN = False
+_PALLAS_SPADE = False
+
+
+class pallas_spade:
+    """Trace-time switch: inside this context the s2d-stage SPADE
+    conditioning MLPs (mlp_shared + mlp_gamma/mlp_beta) run as the fused
+    Pallas kernel (ops/pallas/spade.py) instead of the XLA packed-conv
+    path — exact math, no structural-zero FLOPs, no HBM round trip of the
+    shared activation. Enabled by build_infer_fn on TPU
+    (opts.tpu.pallas_spade); inference-only (the kernel defines no VJP)."""
+
+    def __enter__(self):
+        global _PALLAS_SPADE
+        self._prev = _PALLAS_SPADE
+        _PALLAS_SPADE = True
+
+    def __exit__(self, *exc):
+        global _PALLAS_SPADE
+        _PALLAS_SPADE = self._prev
+        return False
 
 
 class frozen_spectral:
@@ -352,6 +372,25 @@ def dual_spade(x, segmap, params_a, params_b, norm_nc: int,
 
         normalized = instance_norm_s2d(x)
         seg = resize(segmap, (2 * x.shape[1], 2 * x.shape[2]), mode="nearest")
+        if _PALLAS_SPADE and kernel_size == 3:
+            from climategan_tpu.ops.pallas.spade import spade_cond
+            from climategan_tpu.ops.s2d import space_to_depth
+
+            dt = x.dtype
+            gbs = spade_cond(
+                seg.astype(dt),
+                jnp.concatenate([sk_a, sk_b], axis=-1),
+                jnp.concatenate([sb_a, sb_b]),
+                [(gk_a, gb_a, bk_a, bb_a), (gk_b, gb_b, bk_b, bb_b)],
+            )
+            if gbs is not None:
+                outs = []
+                for gb in gbs:
+                    nc = gb.shape[-1] // 2
+                    gamma = space_to_depth(gb[..., :nc])
+                    beta = space_to_depth(gb[..., nc:])
+                    outs.append(normalized * (1.0 + gamma) + beta)
+                return tuple(outs)
     else:
         normalized = _instance_norm(x)
         seg = resize(segmap, (x.shape[1], x.shape[2]), mode="nearest")
@@ -443,13 +482,38 @@ class SPADE(nn.Module):
             ks = (self.kernel_size, self.kernel_size)
             seg = resize(segmap, (2 * x.shape[1], 2 * x.shape[2]),
                          mode="nearest")
-            actv = SNConv(self.nhidden, ks, padding=(pw, pw),
-                          name="mlp_shared")(seg)
-            actv = nn.relu(actv)
             kg, bg = ConvParams(self.norm_nc, ks, self.nhidden,
                                 name="mlp_gamma")()
             kb, bb = ConvParams(self.norm_nc, ks, self.nhidden,
                                 name="mlp_beta")()
+            if _PALLAS_SPADE and self.kernel_size == 3:
+                # fused Pallas conditioning path (ops/pallas/spade.py);
+                # params keep the mlp_shared checkpoint layout
+                from climategan_tpu.ops.pallas.spade import spade_cond
+                from climategan_tpu.ops.s2d import space_to_depth
+
+                ks1, bs1 = ConvParams(self.nhidden, ks, seg.shape[-1],
+                                      name="mlp_shared")()
+                gbs = spade_cond(seg.astype(x.dtype), ks1, bs1,
+                                 [(kg, bg, kb, bb)])
+                if gbs is not None:
+                    nc = self.norm_nc
+                    gamma = space_to_depth(gbs[0][..., :nc])
+                    beta = space_to_depth(gbs[0][..., nc:])
+                    return normalized * (1.0 + gamma) + beta
+                # no tile config for this shape: shared conv from the
+                # declared params, then the packed-conv path below
+                actv = jax.lax.conv_general_dilated(
+                    seg.astype(x.dtype), ks1.astype(x.dtype), (1, 1),
+                    [(pw, pw), (pw, pw)],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=x.dtype,
+                ) + bs1.astype(x.dtype)
+                actv = nn.relu(actv)
+            else:
+                actv = SNConv(self.nhidden, ks, padding=(pw, pw),
+                              name="mlp_shared")(seg)
+                actv = nn.relu(actv)
             gamma, beta = conv_pack_s2d_pair(
                 actv, kg.astype(actv.dtype), kb.astype(actv.dtype), bg, bb)
             return normalized * (1.0 + gamma) + beta
