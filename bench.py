@@ -136,17 +136,29 @@ def main():
         out = infer(variables, x, rng)
         sync(out)
 
+    # latency: one batch in flight, full sync each iteration
     times = []
-    t_all0 = time.perf_counter()
     for i in range(args.iters):
         t0 = time.perf_counter()
         out = infer(variables, x, rng)
         sync(out)
         times.append(time.perf_counter() - t0)
+    p50 = statistics.median(times)
+
+    # throughput: dispatch every batch asynchronously and drain once at the
+    # end — executions on one device stream are ordered, so one readback of
+    # the last batch proves all prior batches completed. This is the
+    # steady-state serving pattern (apply_events.py overlaps compute/write
+    # the same way); device occupancy, not tunnel latency, is what img/s
+    # measures.
+    outs = []
+    t_all0 = time.perf_counter()
+    for i in range(args.iters):
+        outs.append(infer(variables, x, rng))
+    sync(outs[-1])
     wall = time.perf_counter() - t_all0
 
-    p50 = statistics.median(times)
-    imgs_per_sec = args.batch / p50
+    imgs_per_sec = args.batch * args.iters / wall
     n_dev = max(1, len(jax.devices()))
     per_chip = imgs_per_sec / n_chips
 
@@ -175,7 +187,7 @@ def main():
         "vs_baseline": round(per_chip / REF_V100_IMGS_PER_SEC, 3),
         **measured,
         "p50_batch_latency_s": round(p50, 4),
-        "wall_imgs_per_sec": round(args.batch * args.iters / wall, 3),
+        "latency_imgs_per_sec": round(args.batch / p50, 3),
         "batch": args.batch,
         "n_devices_visible": n_dev,
         "platform": jax.devices()[0].platform,

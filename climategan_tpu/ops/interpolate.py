@@ -114,7 +114,12 @@ def resize(x: jax.Array, size, mode: str = "bilinear", align_corners: bool = Fal
         if h % H == 0 and w % W == 0:
             return upsample_nearest(x, h // H, w // W)
         if H % h == 0 and W % w == 0:
-            return x[:, :: H // h, :: W // w, :]
+            # reshape + unit slice, NOT x[:, ::s, ::s]: XLA lowers the
+            # strided spatial slice to gather+transpose on TPU (profiled
+            # 2.5 ms at 640^2 b32; this form is a free slice+reshape)
+            sh, sw = H // h, W // w
+            N, _, _, C = x.shape
+            return x.reshape(N, h, sh, w, sw, C)[:, :, 0, :, 0, :]
 
     dtype = x.dtype
     xf = x.astype(jnp.float32)
