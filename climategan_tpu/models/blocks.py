@@ -92,10 +92,15 @@ class Conv2dBlock(nn.Module):
             self.bias if post_norm != "batch" else False
         )
 
-        # 3x3 stride-1 reflect convs skip the padded-tensor materialization
-        # (zero-pad conv + exact border fixes, norms._conv3x3_reflect)
+        # 3x3 stride-1 reflect convs skip the padded-tensor
+        # materialization (zero-pad conv + exact border fixes,
+        # norms._conv3x3_reflect); A/B-measured faster on v5e — see the
+        # FUSED_REFLECT note in norms.py. Switchable for re-measurement.
+        from climategan_tpu.models import norms as _norms
+
         fused_reflect = (
-            self.pad_type == "reflect" and self.padding == 1
+            _norms.FUSED_REFLECT
+            and self.pad_type == "reflect" and self.padding == 1
             and self.kernel_size == 3 and self.stride == 1
             and self.dilation == 1
         )

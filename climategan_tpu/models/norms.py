@@ -27,6 +27,13 @@ def _l2normalize(v: jax.Array, eps: float = 1e-12) -> jax.Array:
 _SPECTRAL_FROZEN = False
 _PALLAS_SPADE = False
 
+# trace-time switch for blocks.Conv2dBlock: True fuses 3x3 reflect convs
+# (zero-pad conv + border fixes) instead of materializing the padded
+# tensor. A/B on v5e flood b32: fused 64.2 img/s vs materialized 63.2 —
+# the border-strip ops trace at ~23 ms/iter but overlap other work,
+# while the pad copies serialize; fused wins end to end.
+FUSED_REFLECT = True
+
 
 class pallas_spade:
     """Trace-time switch: inside this context the s2d-stage SPADE
