@@ -30,7 +30,7 @@ def main():
     ap.add_argument("--warmup", type=int, default=2)
     ap.add_argument("--remat_d", action="store_true",
                     help="also rematerialize the D step (fits batch 3/domain "
-                         "at 640^2, ~12% slower per step)")
+                         "at 640^2, ~12%% slower per step)")
     ap.add_argument("--remat", action="store_true",
                     help="rematerialize forward activations (fits larger "
                          "batches in HBM)")
