@@ -100,6 +100,24 @@ def uint8_to_m11(img: np.ndarray) -> np.ndarray:
     return x * 2.0 - 1.0
 
 
+_WRITTEN_EVENTS = ("flood", "wildfire", "smog")
+
+
+def flatten_events(out: dict) -> dict:
+    """Keep the written event images and flatten each to (N, H, W*C) ON
+    DEVICE: fetching NHWC uint8 directly hits a ~100x slower strided
+    transfer path for the 3-wide minor dim (0.2 vs 19.4 MB/s measured
+    over the axon tunnel)."""
+    return {k: v.reshape(v.shape[0], v.shape[1], -1)
+            for k, v in out.items() if k in _WRITTEN_EVENTS}
+
+
+def unflatten_events(out_dev: dict) -> dict:
+    """Host-side inverse of flatten_events: fetch + restore (N, H, W, 3)."""
+    return {k: np.asarray(v).reshape(v.shape[0], v.shape[1], -1, 3)
+            for k, v in out_dev.items()}
+
+
 def main():
     args = parse_args()
     stores = {
@@ -202,8 +220,7 @@ def main():
         transport); the flatten is dispatched at infer time and undone
         here on the host for free."""
         with Timer(store=stores["numpy"]):
-            out = {k: np.asarray(v).reshape(v.shape[0], v.shape[1], -1, 3)
-                   for k, v in out_dev.items()}
+            out = unflatten_events(out_dev)
         with Timer(store=stores["write"]):
             for j, (p, _) in enumerate(chunk):
                 stem = p.stem
@@ -232,9 +249,7 @@ def main():
                 out = infer(variables, jnp.asarray(batch), rng)
                 # keep only the written events; flatten on device NOW
                 # (async) — see flush() docstring
-                out = {k: v.reshape(v.shape[0], v.shape[1], -1)
-                       for k, v in out.items()
-                       if k in ("flood", "wildfire", "smog")}
+                out = flatten_events(out)
                 if args.no_overlap:
                     out = jax.block_until_ready(out)
             if pending is not None:

@@ -342,3 +342,27 @@ def test_train_cli_comet_lifecycle_offline(tmp_path):
             sys.modules["comet_ml"] = old
         else:
             del sys.modules["comet_ml"]
+
+
+def test_apply_events_transfer_flatten_roundtrip():
+    """flatten_events/unflatten_events (the fast device->host transfer
+    layout) must round-trip every written event exactly and drop
+    non-image outputs like the mask."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from apply_events import flatten_events, unflatten_events
+
+    rng = np.random.RandomState(0)
+    out = {
+        "flood": jnp.asarray(rng.randint(0, 256, (2, 8, 6, 3), np.uint8)),
+        "wildfire": jnp.asarray(rng.randint(0, 256, (2, 8, 6, 3), np.uint8)),
+        "smog": jnp.asarray(rng.randint(0, 256, (2, 8, 6, 3), np.uint8)),
+        "mask": jnp.asarray(rng.rand(2, 8, 6, 1).astype(np.float32)),
+    }
+    flat = flatten_events(out)
+    assert set(flat) == {"flood", "wildfire", "smog"}
+    assert all(v.shape == (2, 8, 18) for v in flat.values())
+    back = unflatten_events(flat)
+    for k in ("flood", "wildfire", "smog"):
+        np.testing.assert_array_equal(back[k], np.asarray(out[k]))
