@@ -45,6 +45,11 @@ def main():
     ap.add_argument("--mesh", action="store_true",
                     help="shard the batch across all visible devices "
                          "(data-parallel inference; reports per-chip rate)")
+    ap.add_argument("--spatial", action="store_true",
+                    help="shard image ROWS across all visible devices "
+                         "(model-parallel inference for huge images at "
+                         "small batch; XLA inserts the conv halo "
+                         "exchanges)")
     ap.add_argument("--config", type=int, default=0,
                     help="BASELINE.json config shortcut: 1=single-image "
                          "flood fp32, 2=smog only, 3=wildfire only, "
@@ -107,17 +112,27 @@ def main():
         minval=-1.0, maxval=1.0,
     )
     n_chips = 1
-    if args.mesh and len(jax.devices()) > 1:
+    if (args.mesh or args.spatial) and len(jax.devices()) > 1:
         from climategan_tpu.parallel.mesh import (
-            make_mesh, replicate, shard_batch,
+            make_mesh, replicate, shard_batch, shard_spatial,
         )
 
-        n_chips = max(d for d in range(1, len(jax.devices()) + 1)
-                      if args.batch % d == 0)
-        mesh = make_mesh(n_chips)
-        x = shard_batch(mesh, x)
+        if args.spatial:
+            # model-parallel: rows sharded, XLA inserts conv halo
+            # exchanges — the huge-image small-batch serving mode
+            n_chips = max(d for d in range(1, len(jax.devices()) + 1)
+                          if args.size % d == 0)
+            mesh = make_mesh(n_chips)
+            x = shard_spatial(mesh, x)
+            print(f"spatial (row) sharding over {n_chips} devices",
+                  file=sys.stderr)
+        else:
+            n_chips = max(d for d in range(1, len(jax.devices()) + 1)
+                          if args.batch % d == 0)
+            mesh = make_mesh(n_chips)
+            x = shard_batch(mesh, x)
+            print(f"data-parallel over {n_chips} devices", file=sys.stderr)
         variables = replicate(mesh, variables)
-        print(f"data-parallel over {n_chips} devices", file=sys.stderr)
     else:
         x = jax.device_put(x)
 

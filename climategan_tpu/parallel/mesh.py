@@ -41,3 +41,23 @@ def shard_batch(mesh: Mesh, batch, axis: str = "data"):
 def replicate(mesh: Mesh, tree):
     r = replicated(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, r), tree)
+
+
+def spatial_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Shard the H (row) dim of NHWC tensors across the mesh.
+
+    Model-parallel inference for huge images at small batch (the SURVEY
+    §2.4 "painter at >640^2" door): with rows sharded, XLA's SPMD
+    partitioner inserts the conv halo exchanges and turns every spatial
+    reduction (instance-norm stats, event color statistics, the wildfire
+    banded-matmul blur) into the matching ICI collective automatically —
+    the model code is untouched and the math is exactly the single-device
+    math (tests/test_mesh_equivalence.py::test_spatial_sharded_inference
+    _matches_single_device)."""
+    return NamedSharding(mesh, P(None, axis))
+
+
+def shard_spatial(mesh: Mesh, batch, axis: str = "data"):
+    """Device-put a pytree of NHWC arrays with rows sharded over the mesh."""
+    s = spatial_sharding(mesh, axis)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)

@@ -88,3 +88,37 @@ def test_sharded_training_matches_single_device():
     worst_d = max(float(np.abs(np.asarray(a) - np.asarray(b)).max())
                   for a, b in zip(ld_a, ld_b))
     assert worst_d < 5e-4, f"d_params drifted by {worst_d}"
+
+
+def test_spatial_sharded_inference_matches_single_device():
+    """Model-parallel (row-sharded) inference (SURVEY §2.4 ">640^2
+    painter" door): the H axis of every NHWC tensor is split across the
+    mesh, so XLA's SPMD partitioner must insert conv halo exchanges and
+    all-reduce every spatial reduction (instance-norm stats, event color
+    statistics, the banded-matmul blur). The outputs must equal the
+    single-device run — the partitioning cannot change the math."""
+    from climategan_tpu.parallel.mesh import shard_spatial
+
+    opts = tiny_opts(image_size=64)
+    G, infer = build_infer_fn(opts, dtype=jnp.float32, donate=False)
+    rng = jax.random.PRNGKey(1)
+    x = jax.random.uniform(rng, (2, 64, 64, 3), minval=-1.0, maxval=1.0)
+    variables = G.init(rng, x[:1])
+
+    single = infer(variables, x, rng)
+
+    mesh = make_mesh(2)  # rows split 2-way (the 8-way CPU rendezvous of
+    # the full event graph hits XLA:CPU's 40 s all-reduce termination on
+    # this 1-core host, same as the training test above)
+    sharded = infer(
+        replicate(mesh, variables), shard_spatial(mesh, x), rng
+    )
+
+    for k in ("flood", "wildfire", "smog"):
+        a = np.asarray(single[k]).astype(np.int32)
+        b = np.asarray(sharded[k]).astype(np.int32)
+        assert np.abs(a - b).max() <= 1, k
+    np.testing.assert_allclose(
+        np.asarray(single["mask"]), np.asarray(sharded["mask"]),
+        rtol=1e-5, atol=1e-5,
+    )
