@@ -45,6 +45,9 @@ def main():
     ap.add_argument("--iters", type=int, default=2)
     ap.add_argument("--out", default="/tmp/climategan_prof")
     ap.add_argument("--top", type=int, default=25)
+    ap.add_argument("--train", action="store_true",
+                    help="profile the full G+D train step instead of "
+                         "inference (batch = per-domain batch)")
     args = ap.parse_args()
 
     import jax
@@ -58,6 +61,46 @@ def main():
     from climategan_tpu.utils.opts import load_opts
 
     opts = load_opts()
+
+    if args.train:
+        from climategan_tpu.train_step import StepBuilder
+
+        if args.size < 128:  # full painter needs >= 2^spade_n_up = 128:
+            from climategan_tpu.utils.testing import tiny_opts
+
+            opts = tiny_opts(image_size=args.size)  # CPU smoke mode
+        opts.train.bf16 = True
+        opts.tpu.remat = True
+        builder = StepBuilder(opts)
+        rng = jax.random.PRNGKey(0)
+        b, s, feat = args.batch, args.size, max(args.size // 4, 32)
+        rs = np.random.RandomState(0)
+
+        def dom(sup):
+            d = {"x": jnp.asarray(rs.uniform(-1, 1, (b, s, s, 3)),
+                                  jnp.float32),
+                 "m": jnp.asarray(rs.randint(0, 2, (b, s, s, 1)),
+                                  jnp.float32)}
+            if sup:
+                d["d"] = jnp.asarray(rs.uniform(0.1, 10, (b, feat, feat, 1)),
+                                     jnp.float32)
+                d["s"] = jnp.asarray(rs.randint(0, 11, (b, feat, feat)),
+                                     jnp.int32)
+            return d
+
+        batch = {"r": dom(False), "s": dom(True), "rf": dom(False)}
+        print("initializing/compiling train step...", file=sys.stderr)
+        state = builder.init_state(rng, batch)
+        step = jax.jit(builder.train_step, donate_argnums=(0,))
+        state, m = step(state, batch, 1.0, 1.0, 1.0)
+        np.asarray(next(iter(m.values())))
+        with jax.profiler.trace(args.out):
+            for _ in range(args.iters):
+                state, m = step(state, batch, 1.0, 1.0, 1.0)
+                np.asarray(next(iter(m.values())))
+        print(f"trace written to {args.out}")
+        summarize(args.out, args.top)
+        return
     ignore = ("wildfire", "smog") if args.events == "flood" else ()
     G, infer = build_infer_fn(opts, dtype=jnp.bfloat16, ignore_event=ignore,
                               donate=False, freeze_spectral=True)
