@@ -989,9 +989,14 @@ class StepBuilder:
         return state, {**g_metrics, **d_metrics}
 
     def eval_losses(self, state: TrainState,
-                    batch: Dict[str, Dict[str, Array]]) -> Dict[str, Array]:
+                    batch: Dict[str, Dict[str, Array]],
+                    pseudo_scale=1.0) -> Dict[str, Array]:
         """Validation G losses, eval-mode (reference run_evaluation
-        :1653-1704 reuses get_G_loss over val loaders)."""
+        :1653-1704 reuses get_G_loss over val loaders). ``pseudo_scale``
+        must mirror the train step's: the reference clears
+        pseudo_training_tasks for ALL loss computation after
+        train.pseudo.epochs (trainer.py:920-922), so val totals gate the
+        pseudo-label terms identically."""
         rng = jax.random.PRNGKey(0)  # deterministic eval randomness
         g_vars = _merge_vars(state.g_params, state.g_state)
         d_vars = _merge_vars(state.d_params, state.d_state)
@@ -1002,6 +1007,7 @@ class StepBuilder:
                 dl, dm, _, _ = self._masker_losses(
                     g_vars, d_vars, batch[domain], domain, "G", rng,
                     mutable=False, eval_mode=True,
+                    pseudo_scale=pseudo_scale,
                 )
                 total += dl
                 metrics.update({f"val_{k}": v for k, v in dm.items()})

@@ -42,6 +42,7 @@ class Trainer:
         self.state: Optional[TrainState] = None
         self.mesh = None
         self._train_step = None
+        self._eval_losses = None
         # fused inference graphs keyed on (dtype, bin_value, cloudy,
         # ignore_event) — infer_all knobs select distinct XLA graphs, so a
         # single cached fn would silently ignore later knob changes
@@ -82,6 +83,8 @@ class Trainer:
         self.state = replicate(self.mesh, self.state)
         self._train_step = jax.jit(self.builder.train_step,
                                    donate_argnums=(0,))
+        # jitted once here: run_evaluation calls it for EVERY val batch
+        self._eval_losses = jax.jit(self.builder.eval_losses)
         # architecture dump on setup (reference logger.py:438-445,
         # tutils.write_architecture)
         try:
@@ -307,12 +310,15 @@ class Trainer:
         # one batch — same here, one jitted eval_losses call per batch tuple
         if self.builder is not None:
             try:
+                eval_fn = (self._eval_losses if self._eval_losses is not None
+                           else self.builder.eval_losses)
+                p_scale = self.pseudo_scale(self.current_epoch)
                 loss_sums: Dict[str, float] = {}
                 n_loss_batches = 0
                 for tup in zip(*self.loaders["val"].values()):
                     val_batch = {item["domain"]: item["data"]
                                  for item in tup}
-                    losses = self.builder.eval_losses(self.state, val_batch)
+                    losses = eval_fn(self.state, val_batch, p_scale)
                     for k, v in losses.items():
                         loss_sums[k] = loss_sums.get(k, 0.0) + float(
                             np.asarray(v))

@@ -73,7 +73,12 @@ def main():
         opts.tpu.remat = True
         builder = StepBuilder(opts)
         rng = jax.random.PRNGKey(0)
-        b, s, feat = args.batch, args.size, max(args.size // 4, 32)
+        # d/s supervision targets must match the decoder output size the
+        # opts pin (GenConfig.d_target_size, 160 for the flagship config)
+        from climategan_tpu.models.generator import GenConfig
+
+        feat = int(GenConfig.from_opts(opts).d_target_size)
+        b, s = args.batch, args.size
         rs = np.random.RandomState(0)
 
         def dom(sup):

@@ -84,20 +84,28 @@ def paired_diffs(df: pd.DataFrame, pairs, metrics=KEY_METRICS):
 
 
 def bootstrap(values: np.ndarray, n_bs: int, seed: int = 17,
-              batch: int = 20000):
-    """Percentile bootstrap of mean / median / 20%-trimmed mean, vectorized
-    in batches to bound memory. Returns dict measure -> (n_bs,) samples."""
+              batch: int = 20000,
+              measures: tuple = ("20_trimmed_mean",)):
+    """Percentile bootstrap, vectorized in batches to bound memory.
+    Computes only the requested ``measures`` (of mean / median /
+    20_trimmed_mean — median and the trimmed mean each sort the whole
+    (batch, n) resample matrix, so unrequested ones are skipped).
+    Returns dict measure -> (n_bs,) samples."""
+    fns = {"mean": lambda s: s.mean(axis=1),
+           "median": lambda s: np.median(s, axis=1),
+           "20_trimmed_mean": lambda s: trim_mean(s, 0.2, axis=1)}
+    unknown = set(measures) - set(fns)
+    assert not unknown, unknown
     rng = np.random.default_rng(seed)
     n = len(values)
-    out = {m: np.empty(n_bs) for m in ("mean", "median", "20_trimmed_mean")}
+    out = {m: np.empty(n_bs) for m in measures}
     done = 0
     while done < n_bs:
         b = min(batch, n_bs - done)
         samples = values[rng.integers(0, n, size=(b, n))]
         sl = slice(done, done + b)
-        out["mean"][sl] = samples.mean(axis=1)
-        out["median"][sl] = np.median(samples, axis=1)
-        out["20_trimmed_mean"][sl] = trim_mean(samples, 0.2, axis=1)
+        for m in measures:
+            out[m][sl] = fns[m](samples)
         done += b
     return out
 

@@ -74,6 +74,28 @@ def test_pseudo_losses_gated_by_traced_scale():
                                float(m_off["s_crossent_s"]), rtol=1e-6)
 
 
+def test_val_losses_respect_pseudo_gate():
+    """run_evaluation's loss pass must gate pseudo terms like the train
+    step: the reference clears pseudo_training_tasks for ALL loss
+    computation after train.pseudo.epochs (trainer.py:920-922), so val
+    totals at pseudo_scale=0 must drop the real-domain d/s supervision."""
+    opts = tiny_opts(image_size=64)
+    opts.train.pseudo = {"tasks": ["d", "s"], "epochs": 1}
+    builder = StepBuilder(opts, vgg_variables=None)
+    rng = jax.random.PRNGKey(0)
+    batch = _batch()
+    batch["r"]["d"] = batch["s"]["d"].copy()
+    batch["r"]["s"] = batch["s"]["s"].copy()
+    state = builder.init_state(rng, batch)
+
+    m_on = builder.eval_losses(state, batch, 1.0)
+    m_off = builder.eval_losses(state, batch, 0.0)
+    assert abs(float(m_on["val_d_r"])) > 0
+    assert float(m_off["val_d_r"]) == 0.0
+    assert float(m_off["val_s_crossent_r"]) == 0.0
+    assert float(m_off["val_g_total"]) < float(m_on["val_g_total"])
+
+
 # ---------------------------------------------------------------------------
 # infer_all knob cache
 # ---------------------------------------------------------------------------
@@ -150,17 +172,19 @@ def test_val_losses_average_over_all_batches(tiny_trainer):
     assert n_val_batches >= 2  # the regression needs >1 batch to matter
 
     calls = []
-    orig = tr.builder.eval_losses
+    orig = tr._eval_losses if tr._eval_losses is not None \
+        else tr.builder.eval_losses
 
-    def spy(state, batch):
+    def spy(state, batch, pseudo_scale=1.0):
         calls.append(set(batch.keys()))
-        return orig(state, batch)
+        return orig(state, batch, pseudo_scale)
 
-    tr.builder.eval_losses = spy
+    # run_evaluation uses the jitted _eval_losses built at setup
+    tr._eval_losses = spy
     try:
         metrics = tr.run_evaluation()
     finally:
-        tr.builder.eval_losses = orig
+        tr._eval_losses = orig
     assert len(calls) == n_val_batches
     assert any(k.startswith("val_") for k in metrics)
 

@@ -46,7 +46,8 @@ def test_find_model_pairs(tmp_path):
 def test_bootstrap_vectorized_statistics():
     rng = np.random.default_rng(0)
     vals = rng.normal(0.5, 0.1, 200)
-    bs = bootstrap(vals, n_bs=2000, seed=1, batch=512)
+    bs = bootstrap(vals, n_bs=2000, seed=1, batch=512,
+                   measures=("mean", "median", "20_trimmed_mean"))
     for k in ("mean", "median", "20_trimmed_mean"):
         assert bs[k].shape == (2000,)
         assert abs(bs[k].mean() - 0.5) < 0.02
