@@ -144,14 +144,12 @@ def main():
     with Timer(store=stores["setup"]):
         variables = None
         if args.resume_path:
-            from climategan_tpu.utils.checkpoint import load_generator_variables
+            # any flavor: this framework's orbax run dir, a released torch
+            # .pth checkpoint, or a reference-style run dir with
+            # checkpoints/latest_ckpt.pth (reference README.md:49-58)
+            from climategan_tpu.utils.serving import load_inference_variables
 
-            run = Path(args.resume_path).expanduser().resolve()
-            opts_file = next(
-                (run / c for c in ("opts.json", "opts.yaml")
-                 if (run / c).exists()), None)
-            opts = load_opts(path=opts_file)
-            variables = load_generator_variables(run / "checkpoints", None)
+            opts, variables = load_inference_variables(args.resume_path)
         else:
             opts = load_opts()
 

@@ -439,20 +439,54 @@ def convert_painter(vt, sd, torch_prefix="painter",
                       f"{torch_prefix}.conv_img")
 
 
-def convert_generator(variables: Dict, state_dict: Dict, cfg) -> Dict:
+def convert_generator(variables: Dict, state_dict: Dict, cfg,
+                      parts: Tuple[str, ...] = ("masker", "painter"),
+                      lenient: bool = False) -> Dict:
     """Convert a full reference G state dict into flax variables.
 
     cfg: models.generator.GenConfig (drives which heads exist and sizes).
     Unknown/extra torch keys are ignored; unassigned flax leaves are
     reported by VariableTree.unassigned() for the caller to inspect.
+
+    parts: which halves of the model to convert — "masker" (encoder +
+    d/s/m heads) and/or "painter". Leaves outside `parts` keep the values
+    already in ``variables`` (the reference's load_paths.m / .p semantics,
+    trainer.py:440-527).
+
+    lenient: when a whole module group has no keys in the state dict
+    (e.g. a masker-only checkpoint loaded with tasks that include ``p``),
+    skip it with a warning and keep the init values — the reference's
+    ``load_state_dict(strict=False)`` inference behavior
+    (trainer.py:536-546). A PARTIALLY present group still raises:
+    truncated/corrupt files must be loud.
     """
     sd = {k.replace("module.", "module."): v for k, v in state_dict.items()}
     # strip an optional leading "G." (merged checkpoints)
     if any(k.startswith("G.") for k in sd):
         sd = {k[2:] if k.startswith("G.") else k: v for k, v in sd.items()}
 
+    def have(prefix: str, group: str) -> bool:
+        if any(k.startswith(prefix) for k in sd):
+            return True
+        if not lenient:
+            raise KeyError(
+                f"state dict has no {prefix!r}* keys for the {group} "
+                f"(pass lenient=True to keep init values)"
+            )
+        import warnings
+
+        warnings.warn(
+            f"checkpoint has no {prefix!r}* keys: keeping init values for "
+            f"the {group} (reference strict=False inference load)",
+            stacklevel=3,
+        )
+        return False
+
     vt = VariableTree(variables)
-    if any(t in cfg.tasks for t in "msd"):
+    masker = "masker" in parts
+    painter = "painter" in parts
+    if masker and any(t in cfg.tasks for t in "msd") and \
+            have("encoder.", "encoder"):
         if cfg.encoder_arch == "deeplabv2":
             convert_resnetmulti_v2(
                 vt, sd, layers=cfg.encoder_layers,
@@ -464,30 +498,32 @@ def convert_generator(variables: Dict, state_dict: Dict, cfg) -> Dict:
             convert_mobilenet_encoder(vt, enc_sd)
         else:
             convert_resnet_encoder(vt, sd, layers=cfg.encoder_layers)
-    if "d" in cfg.tasks and cfg.d_architecture == "dada":
+    if masker and "d" in cfg.tasks and cfg.d_architecture == "dada" and \
+            have("decoders.d.", "depth decoder"):
         convert_dada_depth(
             vt, sd,
             do_feat_fusion=cfg.m_use_dada or ("s" in cfg.tasks and cfg.s_use_dada),
             upsample=cfg.d_upsample_featuremaps,
         )
-    if "s" in cfg.tasks:
+    if masker and "s" in cfg.tasks and have("decoders.s.", "seg decoder"):
         if cfg.s_architecture == "deeplabv2" or cfg.encoder_arch == "deeplabv2":
             convert_v2_seg_decoder(vt, sd)
         elif cfg.backbone == "mobilenet":
             convert_mobilenet_seg_head(vt, sd)
         else:
             convert_seg_decoder(vt, sd)
-    if "m" in cfg.tasks and not cfg.m_use_spade:
-        convert_mask_base_decoder(
-            vt, sd, n_res=cfg.m_n_res, n_upsample=cfg.m_n_upsample,
-            norm=cfg.m_norm, has_low_level=cfg.m_use_low_level_feats,
-        )
-    if "m" in cfg.tasks and cfg.m_use_spade:
-        convert_mask_spade_decoder(
-            vt, sd, num_layers=cfg.m_spade_num_layers,
-            use_proj=cfg.m_use_proj,
-        )
-    if "p" in cfg.tasks:
+    if masker and "m" in cfg.tasks and have("decoders.m.", "mask decoder"):
+        if cfg.m_use_spade:
+            convert_mask_spade_decoder(
+                vt, sd, num_layers=cfg.m_spade_num_layers,
+                use_proj=cfg.m_use_proj,
+            )
+        else:
+            convert_mask_base_decoder(
+                vt, sd, n_res=cfg.m_n_res, n_upsample=cfg.m_n_upsample,
+                norm=cfg.m_norm, has_low_level=cfg.m_use_low_level_feats,
+            )
+    if painter and "p" in cfg.tasks and have("painter.", "painter"):
         convert_painter(vt, sd, latent_dim=cfg.p_latent_dim,
                         spade_n_up=cfg.p_spade_n_up,
                         param_free_norm=cfg.p_spade_param_free_norm)

@@ -57,14 +57,11 @@ def main():
     opts = load_opts()
     variables = None
     if args.resume_path:
-        from climategan_tpu.utils.checkpoint import load_generator_variables
+        # orbax run dir, released torch .pth, or reference-style run dir
+        # (reference eval_masker.py loads via Trainer.resume_from_path)
+        from climategan_tpu.utils.serving import load_inference_variables
 
-        run = Path(args.resume_path).resolve()
-        opts_file = next((run / c for c in ("opts.json", "opts.yaml")
-                          if (run / c).exists()), None)
-        if opts_file:
-            opts = load_opts(path=opts_file)
-        variables = load_generator_variables(run / "checkpoints", None)
+        opts, variables = load_inference_variables(args.resume_path)
 
     G = create_generator(opts)
     rng = jax.random.PRNGKey(0)

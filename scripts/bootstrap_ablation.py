@@ -73,11 +73,24 @@ def find_model_pairs(df: pd.DataFrame, technique: str):
 
 
 def paired_diffs(df: pd.DataFrame, pairs, metrics=KEY_METRICS):
-    """Pooled per-image (with - without) metric differences."""
+    """Pooled per-image (with - without) metric differences.
+
+    Differences are taken on the INTERSECTION of img_idx: a model pair
+    covering the same number but different sets of images would otherwise
+    silently misalign the subtraction (the reference figure script has
+    this limitation; here mismatched indices are dropped with a warning)."""
     data = {m: [] for m in metrics}
     for m_with, m_without in pairs:
         dw = df.loc[df.model_feats == m_with].sort_values(by="img_idx")
         do = df.loc[df.model_feats == m_without].sort_values(by="img_idx")
+        iw, io = dw["img_idx"].values, do["img_idx"].values
+        if len(iw) != len(io) or (iw != io).any():
+            common = np.intersect1d(iw, io)
+            print(f"WARNING: pair ({m_with!r}, {m_without!r}) covers "
+                  f"different img_idx sets ({len(iw)} vs {len(io)} rows); "
+                  f"pairing on the {len(common)} common images")
+            dw = dw.loc[dw["img_idx"].isin(common)]
+            do = do.loc[do["img_idx"].isin(common)]
         for m in metrics:
             data[m].extend((dw[m].values - do[m].values).tolist())
     return {m: np.asarray(v, np.float64) for m, v in data.items()}

@@ -40,8 +40,35 @@ def test_pseudo_scale_schedule():
     opts.train.pseudo = {"tasks": ["d"], "epochs": -1}  # never disable
     assert Trainer(opts).pseudo_scale(500) == 1.0
 
+    # epochs == 0 also never disables: the reference's clear condition
+    # `epoch == epochs - 1` (trainer.py:920-922) never fires for epochs=0
+    opts.train.pseudo = {"tasks": ["d"], "epochs": 0}
+    assert Trainer(opts).pseudo_scale(0) == 1.0
+    assert Trainer(opts).pseudo_scale(500) == 1.0
+
     opts.train.pseudo = {"tasks": [], "epochs": 3}  # nothing to gate
     assert Trainer(opts).pseudo_scale(0) == 0.0
+
+
+def test_random_vgg_is_disabled_with_warning(capsys):
+    """The reference always builds VGG19 from pretrained torchvision
+    weights (losses.py:304-350); with no weights file here, the perceptual
+    loss must be DISABLED with a loud warning rather than silently trained
+    against a random VGG — unless train.allow_random_vgg opts in."""
+    from climategan_tpu.trainer import Trainer
+
+    opts = tiny_opts(image_size=64)
+    assert float(opts.train.lambdas.G.p.vgg) != 0  # flagship loss is on
+    tr = Trainer(opts)
+    rng = jax.random.PRNGKey(0)
+    assert tr._maybe_vgg(rng) is None
+    outerr = capsys.readouterr()
+    assert "DISABLING" in outerr.out and "vgg_weights" in outerr.out
+
+    opts.train.allow_random_vgg = True
+    tr = Trainer(opts)
+    assert tr._maybe_vgg(rng) is not None  # explicit opt-in: random VGG
+    assert "RANDOM VGG" in capsys.readouterr().out
 
 
 def test_pseudo_losses_gated_by_traced_scale():

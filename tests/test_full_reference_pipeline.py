@@ -229,3 +229,156 @@ def test_add_fire_parity_on_clean_seg(pipeline):
     assert close.mean() > 0.999, (
         f"add_fire: only {close.mean():.4%} of pixels within 1/255 "
         f"(max abs diff {np.abs(wf_j - wf_t).max():.2f})")
+
+
+# ---------------------------------------------------------------------------
+# Round-4: the released-.pth serving path (VERDICT r3 items 1-2).
+# A reference-style run dir (checkpoints/latest_ckpt.pth holding the REAL
+# reference G's save dict, reference trainer.py:396-420) must serve
+# end-to-end through the unmodified CLIs and Trainer.resume_from_path.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def pth_run(pipeline, tmp_path_factory):
+    """A reference-style run dir: checkpoints/latest_ckpt.pth with the
+    reference's own {"G": state_dict, ...} save layout."""
+    tr, sd, opts, G, variables = pipeline
+    run = tmp_path_factory.mktemp("ref_run")
+    (run / "checkpoints").mkdir()
+    torch.save({"G": sd, "epoch": 3, "step": 42},
+               run / "checkpoints" / "latest_ckpt.pth")
+    return run
+
+
+def _painter_fc_kernel(sd):
+    from climategan_tpu.utils.convert import conv_w
+
+    return conv_w(sd["painter.fc.weight"])
+
+
+def test_load_inference_variables_from_pth(pipeline, pth_run):
+    """serving.load_inference_variables: ref run dir -> (opts, variables)
+    with the converted torch weights (not zeros / random)."""
+    from climategan_tpu.utils.serving import (
+        load_inference_variables,
+        resolve_checkpoint,
+    )
+
+    tr, sd, opts, G, variables = pipeline
+    kind, p = resolve_checkpoint(pth_run)
+    assert kind == "torch" and p.name == "latest_ckpt.pth"
+    # a bare .pth file resolves too
+    assert resolve_checkpoint(p)[0] == "torch"
+
+    l_opts, l_vars = load_inference_variables(pth_run)
+    np.testing.assert_array_equal(
+        np.asarray(l_vars["params"]["painter"]["fc"]["kernel"]),
+        _painter_fc_kernel(sd))
+    # and the whole tree matches the fixture's strict conversion
+    flat_a = jax.tree_util.tree_leaves(l_vars)
+    flat_b = jax.tree_util.tree_leaves(variables)
+    assert len(flat_a) == len(flat_b)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_resume_from_path_pth_infer_all(pipeline, pth_run):
+    """Trainer.resume_from_path on a .pth run dir loads G weights and
+    infer_all produces events WITHOUT hand-passing variables (VERDICT r3
+    item 2; reference trainer.py:336-394)."""
+    from climategan_tpu.trainer import Trainer
+
+    tr, sd, opts, G, variables = pipeline
+    tr2 = Trainer.resume_from_path(pth_run, inference=True, setup=True)
+    assert getattr(tr2, "inference_variables", None) is not None
+    np.testing.assert_array_equal(
+        np.asarray(
+            tr2.inference_variables["params"]["painter"]["fc"]["kernel"]),
+        _painter_fc_kernel(sd))
+    out = tr2.infer_all(_x(7), numpy=True, cloudy=False, bin_value=0.5)
+    for event in ("flood", "smog", "wildfire"):
+        assert event in out and out[event].dtype == np.uint8
+        assert out[event].shape == (1, SIZE, SIZE, 3)
+
+
+def test_apply_events_cli_serves_pth(pipeline, pth_run, tmp_path,
+                                     monkeypatch):
+    """The unmodified apply_events CLI pointed at the reference-style run
+    dir writes event PNGs (VERDICT r3 item 1 'done' criterion)."""
+    import cv2
+
+    import apply_events
+
+    in_dir = tmp_path / "imgs"
+    in_dir.mkdir()
+    rs = np.random.RandomState(4)
+    for i in range(2):
+        cv2.imwrite(str(in_dir / f"pic_{i}.png"),
+                    rs.randint(0, 255, (128, 128, 3), np.uint8))
+    out_dir = tmp_path / "outs"
+    monkeypatch.setattr("sys.argv", [
+        "apply_events.py", "-i", str(in_dir), "-o", str(out_dir),
+        "-r", str(pth_run), "-b", "2", "--keep_ratio_128", "--no_cloudy",
+    ])
+    assert apply_events.main() == 0
+    for i in range(2):
+        for event in ("flood", "wildfire", "smog"):
+            f = out_dir / f"pic_{i}_{event}.png"
+            assert f.exists(), f
+            img = cv2.imread(str(f))
+            assert img.shape == (128, 128, 3)
+
+
+def test_convert_checkpoint_script_roundtrip(pipeline, pth_run, tmp_path,
+                                             monkeypatch):
+    """scripts/convert_checkpoint.py: .pth run -> orbax run dir that loads
+    to the identical variable tree (torch-free serving format)."""
+    import importlib
+
+    mod = importlib.import_module("scripts.convert_checkpoint")
+    out = tmp_path / "orbax_run"
+    monkeypatch.setattr("sys.argv", [
+        "convert_checkpoint.py", "-i", str(pth_run), "-o", str(out),
+    ])
+    assert mod.main() == 0
+
+    from climategan_tpu.utils.serving import (
+        load_inference_variables,
+        resolve_checkpoint,
+    )
+
+    assert resolve_checkpoint(out)[0] == "orbax"
+    _, v_orbax = load_inference_variables(out)
+    tr, sd, opts, G, variables = pipeline
+    flat_a = jax.tree_util.tree_leaves(v_orbax)
+    flat_b = jax.tree_util.tree_leaves(variables)
+    assert len(flat_a) == len(flat_b)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_trainer_resume_pth_load_paths(pipeline, pth_run):
+    """Training-mode Trainer.resume() accepts torch .pth load_paths
+    (reference trainer.py:440-527): the live TrainState's G weights are
+    replaced by the converted checkpoint."""
+    from climategan_tpu.trainer import Trainer
+    from climategan_tpu.train_step import TrainState, _split_vars
+
+    tr, sd, opts, G, variables = pipeline
+    # a state whose painter fc kernel is zeroed: resume must overwrite it
+    import copy
+
+    blank = copy.deepcopy(jax.tree_util.tree_map(np.asarray, variables))
+    blank["params"]["painter"]["fc"]["kernel"][:] = 0.0
+    g_params, g_state = _split_vars(blank)
+
+    t = Trainer(opts)
+    t.state = TrainState(g_params=g_params, g_state=g_state,
+                         d_params={}, d_state={}, g_opt=None, d_opt=None,
+                         step=np.int32(0), rng=jax.random.PRNGKey(0))
+    t.opts.load_paths = {"pm": str(pth_run), "p": "none", "m": "none"}
+    assert t.resume() is True
+    np.testing.assert_array_equal(
+        np.asarray(t.state.g_params["painter"]["fc"]["kernel"]),
+        _painter_fc_kernel(sd))
