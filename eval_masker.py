@@ -115,6 +115,10 @@ def main():
             for name, m in maps.items():
                 cv2.imwrite(str(out / f"{p.stem}_{name}.png"),
                             (np.clip(m, 0, 1) * 255).astype(np.uint8))
+            # raw prediction too: scripts/plot_metrics.metrics_onefig
+            # composes its figure offline from these maps
+            cv2.imwrite(str(out / f"{p.stem}_pred.png"),
+                        (np.clip(pred, 0, 1) * 255).astype(np.uint8))
 
         if args.plot:
             sys.path.insert(0, str(Path(__file__).parent))

@@ -137,11 +137,100 @@ def bootstrap_diff(models: dict, out_dir: Path, n_boot: int = 10000,
     plt.close(fig)
 
 
+def metrics_onefig(report_path, images_dir, labels_dir, maps_dir, out_path,
+                   metrics=("error", "f05", "edge_coherence"), dpi=200,
+                   alpha=0.5):
+    """One-figure best/median/worst examples per metric (port of reference
+    figures/metrics_onefig.py, 772 LoC): for each key metric, the images at
+    the best, median and worst rank are shown as [input+labels |
+    input+pred | input+error maps] rows, ranked from the eval_masker
+    report. Inputs are the eval_masker outputs: the report JSON, the image
+    and label dirs, and the ``--write_maps`` maps dir (which includes the
+    raw ``_pred`` mask)."""
+    import cv2
+
+    with open(report_path) as f:
+        report = json.load(f)
+    rows = [r for r in report["per_image"]
+            if all(m in r for m in metrics)]
+    if not rows:
+        raise ValueError(f"no usable per_image rows in {report_path}")
+    images_dir, labels_dir, maps_dir = map(Path, (images_dir, labels_dir,
+                                                  maps_dir))
+
+    def read_for(row):
+        stem = Path(row["image"]).stem
+        img_p = images_dir / row["image"]
+        img = cv2.imread(str(img_p), cv2.IMREAD_COLOR)[..., ::-1] / 255.0
+        lab_p = next((labels_dir / (stem + ext)
+                      for ext in (".png", ".jpg", ".npy")
+                      if (labels_dir / (stem + ext)).exists()), None)
+        label = (np.load(lab_p) if lab_p and lab_p.suffix == ".npy"
+                 else cv2.imread(str(lab_p), cv2.IMREAD_GRAYSCALE)
+                 if lab_p else None)
+
+        def _map(name):
+            p = maps_dir / f"{stem}_{name}.png"
+            return (cv2.imread(str(p), cv2.IMREAD_GRAYSCALE) / 255.0
+                    if p.exists() else None)
+
+        return img, label, _map("pred"), _map("fp"), _map("fn")
+
+    n_rows = 3 * len(metrics)
+    fig, axes = plt.subplots(n_rows, 3, dpi=dpi,
+                             figsize=(9, 2.6 * n_rows), squeeze=False)
+    rank_names = ("best", "median", "worst")
+    for mi, metric in enumerate(metrics):
+        # lower-is-better for error/edge_coherence, higher for f05
+        reverse = metric == "f05"
+        ranked = sorted(rows, key=lambda r: r[metric], reverse=reverse)
+        picks = (ranked[0], ranked[len(ranked) // 2], ranked[-1])
+        for ri, (rank, row) in enumerate(zip(rank_names, picks)):
+            img, label, pred, fp_map, fn_map = read_for(row)
+            r = 3 * mi + ri
+            for c in range(3):
+                axes[r][c].axis("off")
+                axes[r][c].imshow(img)
+            if label is not None:
+                h, w = img.shape[:2]
+                if label.shape[:2] != (h, w):
+                    label = cv2.resize(label, (w, h),
+                                       interpolation=cv2.INTER_NEAREST)
+                axes[r][0].imshow(label, alpha=alpha, cmap="viridis")
+            axes[r][0].set_title(
+                f"{metric} {rank}: {row[metric]:.4f} ({row['image']})",
+                fontsize="xx-small", loc="left")
+            if pred is not None:
+                axes[r][1].imshow(pred, vmin=0, vmax=1, cmap="Greens",
+                                  alpha=alpha)
+            axes[r][1].set_title("prediction", fontsize="xx-small")
+            if fp_map is not None:
+                axes[r][2].imshow(fp_map, vmin=0, vmax=1, cmap="Reds",
+                                  alpha=alpha)
+            if fn_map is not None:
+                axes[r][2].imshow(fn_map, vmin=0, vmax=1, cmap="Blues",
+                                  alpha=alpha)
+            axes[r][2].set_title("FP (red) / FN (blue)",
+                                 fontsize="xx-small")
+    fig.tight_layout()
+    out_path = Path(out_path)
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    fig.savefig(out_path, bbox_inches="tight", facecolor="white")
+    plt.close(fig)
+    return out_path
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("-r", "--reports", nargs="+", required=True,
                     help="name=report.json pairs")
     ap.add_argument("-o", "--output_dir", default="figures")
+    ap.add_argument("--onefig", action="store_true",
+                    help="also build the best/median/worst one-figure "
+                         "(needs --images_dir/--labels_dir/--maps_dir)")
+    ap.add_argument("--images_dir", default=None)
+    ap.add_argument("--labels_dir", default=None)
+    ap.add_argument("--maps_dir", default=None)
     args = ap.parse_args()
 
     out = Path(args.output_dir)
@@ -152,6 +241,13 @@ def main():
         models[name] = load(path or name)
     boxplots(models, out)
     bootstrap_diff(models, out)
+    if args.onefig:
+        assert args.images_dir and args.labels_dir and args.maps_dir, (
+            "--onefig needs --images_dir, --labels_dir and --maps_dir "
+            "(eval_masker.py --write_maps outputs)")
+        name, _, path = args.reports[0].partition("=")
+        metrics_onefig(path or name, args.images_dir, args.labels_dir,
+                       args.maps_dir, out / "metrics_onefig.png")
     print(f"figures written to {out}")
 
 
