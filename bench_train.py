@@ -89,6 +89,18 @@ def main():
         batch = jax.device_put(batch)
     step = jax.jit(builder.train_step, donate_argnums=(0,))
 
+    # analytic FLOPs of the compiled G+D step (training-side roofline;
+    # same cost_analysis() source as bench.py)
+    flops_per_step = None
+    try:
+        ca = step.lower(state, batch).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        if ca:
+            flops_per_step = float(ca.get("flops", 0.0)) or None
+    except Exception as e:
+        print(f"cost_analysis unavailable: {e}", file=sys.stderr)
+
     print("compiling train step...", file=sys.stderr)
     for _ in range(args.warmup):
         state, metrics = step(state, batch)
@@ -104,6 +116,13 @@ def main():
 
     p50 = statistics.median(times)
     imgs = 3 * args.batch  # r + s + rf samples per step
+    roofline = {}
+    if flops_per_step:
+        achieved = flops_per_step / p50 / n_chips / 1e12
+        roofline = {
+            "tflops_per_step": round(flops_per_step / 1e12, 3),
+            "achieved_tflops_per_chip": round(achieved, 2),
+        }
     print(json.dumps({
         "metric": f"train images/sec/chip at {size}x{size} "
                   "(G+D ExtraAdam step, 3 domains)",
@@ -114,6 +133,7 @@ def main():
         "vs_baseline": 0,
         "p50_step_latency_s": round(p50, 4),
         "per_domain_batch": args.batch,
+        **roofline,
         "g_loss": round(float(metrics["g_total"]), 4),
         "d_loss": round(float(metrics["d_total"]), 4),
         "platform": jax.devices()[0].platform,

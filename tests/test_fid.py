@@ -45,3 +45,118 @@ def test_inception_features_and_fid():
                               minval=-1, maxval=1)
     fid = ev.fid(fake)
     assert np.isfinite(fid)
+
+
+# ---------------------------------------------------------------------------
+# Round-4: composed-FID value parity vs the REAL reference math
+# (VERDICT r3 item 6; reference fid.py:437-561)
+# ---------------------------------------------------------------------------
+
+
+def _reference_frechet():
+    """The reference's own calculate_frechet_distance (scipy.linalg.sqrtm
+    path), imported from /root/reference."""
+    from tests.reference_import import ref
+
+    return ref("fid").calculate_frechet_distance
+
+
+def test_frechet_value_twin_ill_conditioned():
+    """Newton-Schulz frechet_distance vs the reference's scipy.linalg.sqrtm
+    on rank-deficient (n << d) and well-conditioned covariances: the
+    VALUES must match."""
+    calc = _reference_frechet()
+    rs = np.random.RandomState(7)
+    for n, d in ((8, 512), (6, 128), (300, 64)):
+        f1 = rs.randn(n, d) * 0.5 + 0.1
+        f2 = rs.randn(n, d) * 0.7 - 0.2
+        m1, s1 = activation_statistics(f1)
+        m2, s2 = activation_statistics(f2)
+        ours = frechet_distance(m1, s1, m2, s2)
+        ref_v = float(calc(m1, s1, m2, s2))
+        np.testing.assert_allclose(ours, ref_v, rtol=1e-4,
+                                   err_msg=f"n={n} d={d}")
+
+
+def test_sqrtm_near_singular_vs_scipy():
+    """Trace of the Newton-Schulz sqrt on a near-singular covariance
+    PRODUCT (the FID integrand) vs scipy.linalg.sqrtm."""
+    from scipy import linalg
+
+    rs = np.random.RandomState(3)
+    # rank-5 PSD 256x256 + tiny diagonal (the eps-offset regime FID uses)
+    B1, B2 = rs.randn(256, 5), rs.randn(256, 5)
+    s1 = B1 @ B1.T + 1e-6 * np.eye(256)
+    s2 = B2 @ B2.T + 1e-6 * np.eye(256)
+    ours = np.trace(_sqrtm_newton_schulz(s1 @ s2))
+    want = np.trace(np.real(linalg.sqrtm(s1 @ s2)))
+    np.testing.assert_allclose(ours, want, rtol=1e-5)
+
+
+def test_composed_fid_twin_end_to_end(tmp_path):
+    """Identical synthetic Inception weights + identical images through a
+    torch pytorch-fid replica (resize -> Inception -> stats -> scipy
+    frechet, the reference's full compute path fid.py:437-561) and
+    climategan_tpu.fid's FIDEvaluator: the composed FID values must match.
+    n=6 images of 2048 features makes the covariances maximally
+    rank-deficient — the hard sqrtm regime."""
+    import torch
+    import torch.nn.functional as F
+
+    from climategan_tpu.fid import FIDEvaluator
+    from climategan_tpu.utils.convert import load_inception_weights
+
+    from tests.torch_ref import FIDInceptionTorch
+
+    torch.manual_seed(11)
+    tm = FIDInceptionTorch()
+    # calibrate BN running stats with a few train-mode passes: with
+    # RANDOM stats a 90-layer random CNN collapses every input to the
+    # same pooled feature vector (both pipelines then agree on FID = 0,
+    # which proves nothing); in-distribution stats make features vary
+    # with the input so the FID is a real number
+    rs_cal = np.random.RandomState(99)
+    tm.train()
+    with torch.no_grad():
+        for _ in range(8):
+            cal = torch.from_numpy(
+                rs_cal.uniform(-1, 1, (4, 299, 299, 3)).astype(np.float32)
+            ).permute(0, 3, 1, 2)
+            tm(cal)
+    tm.eval()
+    path = tmp_path / "pt_inception.pth"
+    torch.save(tm.state_dict(), str(path))
+
+    rs = np.random.RandomState(5)
+    real = rs.uniform(-1, 1, (6, 96, 96, 3)).astype(np.float32)
+    # a structurally DIFFERENT distribution (not real+noise: a deep
+    # network contracts small perturbations and FID degenerates to ~0)
+    fake = (0.5 * np.sign(rs.uniform(-1, 1, real.shape))
+            * rs.uniform(0.2, 1, real.shape)).astype(np.float32)
+
+    # --- torch side: the reference's pipeline on the same images
+    def torch_feats(imgs):
+        x = torch.from_numpy(imgs).permute(0, 3, 1, 2)
+        x = F.interpolate(x, size=(299, 299), mode="bilinear",
+                          align_corners=False)
+        with torch.no_grad():
+            return tm(x).numpy()
+
+    calc = _reference_frechet()
+    m1, s1 = activation_statistics(torch_feats(real))
+    m2, s2 = activation_statistics(torch_feats(fake))
+    fid_torch = float(calc(m1, s1, m2, s2))
+
+    # --- jax side: the product path
+    ev = FIDEvaluator(rng=jax.random.PRNGKey(0), batch_size=6)
+    ev.variables = load_inception_weights(str(path), ev.variables)
+    ev.set_real(jnp.asarray(real))
+    fid_jax = ev.fid(jnp.asarray(fake))
+
+    assert np.isfinite(fid_jax)
+    # the comparison must not degenerate: distinct distributions through a
+    # calibrated network give a solidly nonzero FID
+    assert fid_torch > 0.05, f"degenerate twin setup: fid_torch={fid_torch}"
+    np.testing.assert_allclose(
+        fid_jax, fid_torch, rtol=5e-2,
+        err_msg=f"composed FID diverged: jax={fid_jax} torch={fid_torch}")

@@ -152,3 +152,26 @@ def test_dual_spade_pallas_path_matches_xla():
                                rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(np.asarray(fused_b), np.asarray(base_b),
                                rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="compiled-TPU kernel path needs a real TPU")
+def test_flagship_shape_compiled_on_tpu():
+    """ADVICE r3: the compiled (non-interpret) TPU path — pltpu.roll
+    semantics, async DMA windows, the hid % 128 lane-alignment guard — at
+    the flagship painter shape (nhidden=128), vs the XLA reference.
+    Gated on a real TPU backend; CI covers the same kernel code in
+    interpreter mode above."""
+    ks = jax.random.split(jax.random.PRNGKey(7), 8)
+    N, H, W, cnc, hid, nc = 1, 40, 40, 3, 128, 640
+    seg = _rand(ks[0], (N, H, W, cnc))
+    k1, b1 = _rand(ks[1], (3, 3, cnc, hid)), _rand(ks[2], (hid,))
+    kg, bg = _rand(ks[3], (3, 3, hid, nc)), _rand(ks[4], (nc,))
+    kb, bb = _rand(ks[5], (3, 3, hid, nc)), _rand(ks[6], (nc,))
+
+    out = spade_cond(seg, k1, b1, [(kg, bg, kb, bb)], interpret=False)
+    gamma_ref, beta_ref = _xla_ref(seg, k1, b1, kg, bg, kb, bb)
+    np.testing.assert_allclose(np.asarray(out[0][..., :nc]),
+                               np.asarray(gamma_ref), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out[0][..., nc:]),
+                               np.asarray(beta_ref), rtol=2e-4, atol=2e-4)
