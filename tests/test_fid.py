@@ -101,6 +101,7 @@ def test_composed_fid_twin_end_to_end(tmp_path):
     n=6 images of 2048 features makes the covariances maximally
     rank-deficient — the hard sqrtm regime."""
     import torch
+    import torch.nn as nn
     import torch.nn.functional as F
 
     from climategan_tpu.fid import FIDEvaluator
@@ -110,11 +111,16 @@ def test_composed_fid_twin_end_to_end(tmp_path):
 
     torch.manual_seed(11)
     tm = FIDInceptionTorch()
-    # calibrate BN running stats with a few train-mode passes: with
-    # RANDOM stats a 90-layer random CNN collapses every input to the
-    # same pooled feature vector (both pipelines then agree on FID = 0,
-    # which proves nothing); in-distribution stats make features vary
-    # with the input so the FID is a real number
+    # synthetic weights must PROPAGATE input information: torch's default
+    # conv init (kaiming-uniform, a=sqrt(5)) attenuates the signal ~0.5x
+    # per layer, so after ~90 convs every input maps to the same pooled
+    # feature vector and both pipelines trivially agree on FID ~ 0
+    # (measured: cross-image feature std 1e-6 -> 0.08 after this re-init).
+    # ReLU-gain kaiming + BN-stat calibration keeps propagation isometric.
+    with torch.no_grad():
+        for m in tm.modules():
+            if isinstance(m, nn.Conv2d):
+                nn.init.kaiming_normal_(m.weight, nonlinearity="relu")
     rs_cal = np.random.RandomState(99)
     tm.train()
     with torch.no_grad():
@@ -127,12 +133,29 @@ def test_composed_fid_twin_end_to_end(tmp_path):
     path = tmp_path / "pt_inception.pth"
     torch.save(tm.state_dict(), str(path))
 
-    rs = np.random.RandomState(5)
-    real = rs.uniform(-1, 1, (6, 96, 96, 3)).astype(np.float32)
-    # a structurally DIFFERENT distribution (not real+noise: a deep
-    # network contracts small perturbations and FID degenerates to ~0)
-    fake = (0.5 * np.sign(rs.uniform(-1, 1, real.shape))
-            * rs.uniform(0.2, 1, real.shape)).astype(np.float32)
+    # structured scenes with per-image GLOBAL statistics: i.i.d. noise
+    # images are statistically indistinguishable to any CNN, and
+    # real+noise pairs contract to the same features — either way FID
+    # degenerates to ~0 and the comparison proves nothing
+    def scenes(seed, kind, n=6, size=96):
+        rs = np.random.RandomState(seed)
+        out = np.zeros((n, size, size, 3), np.float32)
+        yy, xx = np.mgrid[0:size, 0:size] / size
+        for i in range(n):
+            base = rs.uniform(-0.8, 0.8, 3)
+            if kind == "horizon":
+                h = rs.uniform(0.3, 0.7)
+                img = np.where((yy < h)[..., None], base, -base)
+            else:  # stripes of varying frequency/phase
+                f = rs.uniform(2, 10)
+                ph = rs.uniform(0, 6)
+                img = base * np.sin(2 * np.pi * f * xx + ph)[..., None]
+            out[i] = np.clip(
+                img + rs.normal(0, 0.05, (size, size, 3)), -1, 1)
+        return out
+
+    real = scenes(5, "horizon")
+    fake = scenes(6, "stripes")
 
     # --- torch side: the reference's pipeline on the same images
     def torch_feats(imgs):
@@ -155,8 +178,9 @@ def test_composed_fid_twin_end_to_end(tmp_path):
 
     assert np.isfinite(fid_jax)
     # the comparison must not degenerate: distinct distributions through a
-    # calibrated network give a solidly nonzero FID
-    assert fid_torch > 0.05, f"degenerate twin setup: fid_torch={fid_torch}"
+    # calibrated network give a solidly nonzero FID (measured ~47)
+    assert fid_torch > 1.0, f"degenerate twin setup: fid_torch={fid_torch}"
+    # measured agreement 1.2e-5 relative; 1e-3 leaves platform margin
     np.testing.assert_allclose(
-        fid_jax, fid_torch, rtol=5e-2,
+        fid_jax, fid_torch, rtol=1e-3,
         err_msg=f"composed FID diverged: jax={fid_jax} torch={fid_torch}")
