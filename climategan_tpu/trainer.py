@@ -136,39 +136,37 @@ class Trainer:
 
         pm, p, m = _p(lp.get("pm")), _p(lp.get("p")), _p(lp.get("m"))
         variables = None
-        try:
-            if pm is not None:
-                variables = load_variables(pm, self.opts, G=self.G)
-                self.logger.print(f"loaded P+M inference weights from {pm}")
-            else:
-                if m is not None:
-                    variables = load_variables(m, self.opts, G=self.G,
-                                               parts=("masker",),
-                                               into=variables)
-                    self.logger.print(f"loaded M inference weights from {m}")
-                if p is not None:
-                    variables = load_variables(p, self.opts, G=self.G,
-                                               parts=("painter",),
-                                               into=variables)
-                    self.logger.print(f"loaded P inference weights from {p}")
-            if variables is None:
-                out = Path(str(self.opts.output_path or ""))
-                if out and out.exists():
-                    from climategan_tpu.utils.serving import (
-                        resolve_checkpoint,
-                    )
+        # an explicitly-given load path that does not resolve is a user
+        # error and must be LOUD (the reference asserts path.exists(),
+        # trainer.py:450-513) — silently serving random weights is worse
+        # than crashing
+        if pm is not None:
+            variables = load_variables(pm, self.opts, G=self.G)
+            self.logger.print(f"loaded P+M inference weights from {pm}")
+        else:
+            if m is not None:
+                variables = load_variables(m, self.opts, G=self.G,
+                                           parts=("masker",),
+                                           into=variables)
+                self.logger.print(f"loaded M inference weights from {m}")
+            if p is not None:
+                variables = load_variables(p, self.opts, G=self.G,
+                                           parts=("painter",),
+                                           into=variables)
+                self.logger.print(f"loaded P inference weights from {p}")
+        if variables is None:
+            # implicit output_path fallback: absence just means a fresh
+            # run dir, not an error
+            out = Path(str(self.opts.output_path or ""))
+            if out and out.exists():
+                from climategan_tpu.utils.serving import resolve_checkpoint
 
-                    try:
-                        resolve_checkpoint(out)
-                    except FileNotFoundError:
-                        return None
-                    variables = load_variables(out, self.opts, G=self.G)
-                    self.logger.print(
-                        f"loaded inference weights from {out}"
-                    )
-        except FileNotFoundError as e:
-            self.logger.print(f"inference resume: {e}")
-            return None
+                try:
+                    resolve_checkpoint(out)
+                except FileNotFoundError:
+                    return None
+                variables = load_variables(out, self.opts, G=self.G)
+                self.logger.print(f"loaded inference weights from {out}")
         return variables
 
     def _maybe_pretrained_backbone(self, state):

@@ -116,3 +116,24 @@ def test_bench_probe_ok_path():
         os.environ.clear()
         os.environ.update(env_backup)
     assert failure == ""
+
+
+def test_explicit_load_path_missing_raises(tmp_path):
+    """An explicitly-set load_paths entry that resolves to nothing must
+    raise at setup (reference asserts path.exists(), trainer.py:450-513)
+    — never silently serve random weights."""
+    from climategan_tpu.trainer import Trainer
+    from climategan_tpu.utils.testing import tiny_opts
+
+    opts = tiny_opts(image_size=64)
+    opts.output_path = str(tmp_path)
+    opts.load_paths = {"pm": str(tmp_path / "does_not_exist"),
+                       "p": "none", "m": "none"}
+    with pytest.raises(FileNotFoundError):
+        Trainer(opts).setup(inference=True)
+
+    # no load_paths + fresh output dir: soft (random weights allowed,
+    # apply_events warns at the CLI layer)
+    opts.load_paths = {"pm": "none", "p": "none", "m": "none"}
+    tr = Trainer(opts).setup(inference=True)
+    assert tr.inference_variables is None
