@@ -89,8 +89,11 @@ def build_parser():
                     help="seconds per backend probe attempt")
     ap.add_argument("--probe_retries", type=int, default=3,
                     help="probe attempts before declaring the backend down")
-    ap.add_argument("--bench_timeout", type=int, default=2400,
-                    help="wall-clock bound on the benchmark child (s)")
+    ap.add_argument("--bench_timeout", type=int, default=3300,
+                    help="wall-clock bound on the benchmark child (s); the "
+                         "640^2 fused-graph TPU compile alone is ~25 min "
+                         "cold over the tunnel (cached at "
+                         "/tmp/jax_cache_tpu after)")
     return ap
 
 
