@@ -87,6 +87,26 @@ def spectral_normalize(
     sigma does (w_bar participates in the final contraction), matching the
     reference where u/v are buffers but w_bar requires grad.
     """
+    sigma, u, v = spectral_sigma(kernel, u, v, power_iterations)
+    w = kernel / sigma.astype(kernel.dtype)
+    return w, u, v
+
+
+def spectral_sigma(
+    kernel: jax.Array,
+    u: jax.Array,
+    v: jax.Array,
+    power_iterations: int = 1,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Power-iteration sigma estimate WITHOUT scaling the kernel.
+
+    The live SNConv path applies 1/sigma to the conv OUTPUT instead of the
+    kernel: mathematically identical (conv is linear in the kernel), but it
+    dodges an XLA Shardy partitioner miscompilation where a conv whose
+    kernel is scaled by any traced scalar returns outputs multiplied by the
+    spatial-shard count when its input is spatially sharded on a multi-axis
+    mesh (repro: tests/test_shardy_workaround.py; observed on jax 0.9.0,
+    exact on the legacy GSPMD partitioner)."""
     kh, kw, ci, co = kernel.shape
     w_mat = kernel.astype(jnp.float32).transpose(3, 2, 0, 1).reshape(co, -1)
     w_ng = jax.lax.stop_gradient(w_mat)
@@ -96,8 +116,7 @@ def spectral_normalize(
     u = jax.lax.stop_gradient(u)
     v = jax.lax.stop_gradient(v)
     sigma = u @ (w_mat @ v)
-    w = kernel / sigma.astype(kernel.dtype)
-    return w, u, v
+    return sigma, u, v
 
 
 class InstanceNorm(nn.Module):
@@ -258,6 +277,7 @@ class SNConv(nn.Module):
             ci = x.shape[-1] // 4
         kernel = self.param("kernel", self.kernel_init, (kh, kw, ci, self.features))
 
+        inv_sigma = None
         if self.spectral and not _SPECTRAL_FROZEN:
             fan_in = ci * kh * kw
             u_var = self.variable(
@@ -270,14 +290,28 @@ class SNConv(nn.Module):
                 lambda: _l2normalize(
                     jax.random.normal(jax.random.PRNGKey(1), (fan_in,))),
             )
-            w, u_new, v_new = spectral_normalize(
+            # sigma scales the conv OUTPUT, not the kernel — same math
+            # (conv is linear in the kernel), but a traced-scalar-scaled
+            # kernel triggers a Shardy partitioner miscompilation under
+            # spatial sharding on a multi-axis mesh (spectral_sigma doc)
+            sigma, u_new, v_new = spectral_sigma(
                 kernel, u_var.value, v_var.value, self.power_iterations
             )
+            inv_sigma = (1.0 / sigma)
             if update_sn and not self.is_initializing():
                 u_var.value = u_new
                 v_var.value = v_new
-        else:
-            w = kernel
+        w = kernel
+
+        def _finish(y, bias):
+            # 1/sigma BEFORE bias: y = conv(x, w)/sigma + b == the
+            # reference's conv(x, w/sigma) + b; XLA fuses the scalar
+            # multiply into the conv epilogue
+            if inv_sigma is not None:
+                y = y * inv_sigma.astype(y.dtype)
+            if bias is not None:
+                y = y + bias.astype(y.dtype)
+            return y
 
         if s2d:
             assert self.groups == 1 and self.strides == (1, 1) \
@@ -287,9 +321,13 @@ class SNConv(nn.Module):
             bias = (self.param("bias", nn.initializers.zeros,
                                (self.features,))
                     if self.use_bias else None)
-            if s2d == "s2d":
-                return conv_s2d(x, w.astype(x.dtype), bias)
-            return conv_pack_s2d(x, w.astype(x.dtype), bias)
+            helper = conv_s2d if s2d == "s2d" else conv_pack_s2d
+            if inv_sigma is None:
+                return helper(x, w.astype(x.dtype), bias)
+            # packed outputs carry 4x channels — tile the bias like the
+            # helpers do internally (ops/s2d.py:123-124)
+            packed_bias = None if bias is None else jnp.tile(bias, 4)
+            return _finish(helper(x, w.astype(x.dtype), None), packed_bias)
 
         if reflect_pad:
             assert self.groups == 1 and self.strides == (1, 1) \
@@ -298,7 +336,9 @@ class SNConv(nn.Module):
             bias = (self.param("bias", nn.initializers.zeros,
                                (self.features,))
                     if self.use_bias else None)
-            return _conv3x3_reflect(x, w.astype(x.dtype), bias)
+            if inv_sigma is None:
+                return _conv3x3_reflect(x, w.astype(x.dtype), bias)
+            return _finish(_conv3x3_reflect(x, w.astype(x.dtype), None), bias)
 
         y = jax.lax.conv_general_dilated(
             x,
@@ -311,10 +351,9 @@ class SNConv(nn.Module):
             feature_group_count=self.groups,
             preferred_element_type=x.dtype,
         )
-        if self.use_bias:
-            bias = self.param("bias", nn.initializers.zeros, (self.features,))
-            y = y + bias.astype(y.dtype)
-        return y
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,))
+                if self.use_bias else None)
+        return _finish(y, bias)
 
 
 class ConvParams(nn.Module):

@@ -23,6 +23,45 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     return Mesh(np.asarray(devs), (axis,))
 
 
+def make_mesh_2d(dp: int, sp: int,
+                 axes: tuple = ("data", "space")) -> Mesh:
+    """2-D hybrid mesh: ``dp`` data-parallel groups x ``sp`` spatial
+    (row-sharded) shards. Device order keeps each data group's spatial
+    shards adjacent, so conv halo exchanges (the chatty, per-layer
+    collective) ride nearest-neighbor ICI links while the once-per-step
+    gradient all-reduce spans the slower outer axis."""
+    devs = jax.devices()
+    need = dp * sp
+    assert len(devs) >= need, f"need {need} devices, have {len(devs)}"
+    return Mesh(np.asarray(devs[:need]).reshape(dp, sp), axes)
+
+
+def hybrid_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """NHWC batch for the 2-D mesh: N split over 'data', H over 'space'."""
+    data_ax, space_ax = mesh.axis_names
+    return NamedSharding(mesh, P(data_ax, space_ax))
+
+
+def shard_hybrid(mesh: Mesh, batch):
+    """Device-put a pytree of NHWC arrays with N x H sharded over the
+    2-D mesh. Rank<4 leaves (e.g. int seg maps NHW) shard N and H too;
+    rank-1/0 leaves replicate."""
+    from climategan_tpu.parallel.distributed import make_global_array
+
+    def put(x):
+        nd = getattr(x, "ndim", 0)
+        data_ax, space_ax = mesh.axis_names
+        if nd >= 3:
+            spec = P(data_ax, space_ax)
+        elif nd >= 1:
+            spec = P(data_ax)
+        else:
+            spec = P()
+        return make_global_array(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(put, batch)
+
+
 def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     """Shard the leading (batch) dim of NHWC tensors across the mesh."""
     return NamedSharding(mesh, P(axis))
@@ -33,9 +72,15 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch, axis: str = "data"):
-    """Device-put a pytree of batch-leading arrays, sharded over the mesh."""
+    """Shard a pytree of batch-leading arrays over the mesh.
+
+    Single-host this is a device_put; on a multi-host pod each process
+    passes its LOCAL batch shard and the global array is assembled via
+    jax.make_array_from_process_local_data (parallel/distributed.py)."""
+    from climategan_tpu.parallel.distributed import make_global_array
+
     s = batch_sharding(mesh, axis)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
+    return jax.tree_util.tree_map(lambda x: make_global_array(x, s), batch)
 
 
 def replicate(mesh: Mesh, tree):

@@ -619,6 +619,10 @@ class Trainer:
     def save(self):
         from climategan_tpu.utils.checkpoint import save_checkpoint
 
+        # pod-safe: params/opt state are replicated, so host 0 holds the
+        # full state — other processes writing the same dir would race
+        if jax.process_index() != 0:
+            return
         out = Path(str(self.opts.output_path)) / "checkpoints"
         save_checkpoint(out, self.state, self.current_epoch, self.opts)
         self.logger.print(f"saved checkpoint at epoch {self.current_epoch}")

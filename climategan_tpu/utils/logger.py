@@ -40,6 +40,12 @@ class Logger:
         return out
 
     def _write(self, record: Dict):
+        # pod-safe: only host 0 appends (metrics are batch-global —
+        # XLA reductions already span every process's devices)
+        import jax
+
+        if jax.process_index() != 0:
+            return
         with open(self.metrics_path, "a") as f:
             f.write(json.dumps(record) + "\n")
 
@@ -79,6 +85,10 @@ class Logger:
     def log_images(self, name: str, images: np.ndarray, step: int = 0):
         """Save an image grid to disk (and comet if available)."""
         try:
+            import jax
+
+            if jax.process_index() != 0:  # pod-safe: host 0 only
+                return
             import cv2
 
             out = Path(str(self.opts.get("output_path", "."))) / "images"

@@ -90,6 +90,63 @@ def test_sharded_training_matches_single_device():
     assert worst_d < 5e-4, f"d_params drifted by {worst_d}"
 
 
+def test_hybrid_sharded_training_matches_single_device():
+    """2-D hybrid (data x space) training (SURVEY §2.4 greenfield): batch
+    split over the 'data' axis AND rows split over the 'space' axis of a
+    2x2 mesh, params/optimizer replicated. XLA's SPMD partitioner now has
+    to insert BOTH the gradient all-reduce (over both axes) and the conv
+    halo exchanges / spatial-stat collectives inside every layer of the
+    G+D step. One step must match the single-device step — the hybrid
+    partitioning cannot change the math. This is the sharding layout for
+    scaling past DP (large images at fixed per-chip memory).
+
+    Tolerances are calibrated to the one true fp effect of row sharding:
+    spatial-reduction reassociation perturbs gradients at the ~1e-8
+    noise floor, and Adam-family first-step updates are ±lr regardless
+    of gradient magnitude — so elements whose true gradient is ~0 can
+    flip sign and land a full lr quantum (1e-4) apart. g_total is
+    computed BEFORE the update and must match tightly; d_total is
+    computed after the G update and inherits the quantum flips;
+    parameter leaves may differ by a few lr quanta on zero-gradient
+    elements. (A systematic error looks different: the Shardy
+    kernel-scale miscompilation this test originally caught made every
+    spectral conv output exactly 2x — see tests/test_shardy_workaround
+    .py and models/norms.spectral_sigma.)"""
+    from climategan_tpu.parallel.mesh import make_mesh_2d, shard_hybrid
+    from climategan_tpu.train_step import StepBuilder
+
+    from tests.test_train_step import _batch
+
+    opts = tiny_opts(image_size=64)
+    opts.train.bf16 = False
+    builder = StepBuilder(opts, vgg_variables=None)
+    rng = jax.random.PRNGKey(0)
+    batch = _batch(n=4)
+    state0 = builder.init_state(rng, batch)
+    step = jax.jit(builder.train_step)
+
+    s_single, m_single = step(state0, batch)
+
+    mesh = make_mesh_2d(2, 2)
+    s_shard, m_shard = step(
+        replicate(mesh, state0), shard_hybrid(mesh, batch)
+    )
+
+    np.testing.assert_allclose(float(m_single["g_total"]),
+                               float(m_shard["g_total"]),
+                               rtol=5e-4, atol=5e-5)
+    # post-G-update metric: lr-quantum sign flips admit a few percent
+    np.testing.assert_allclose(float(m_single["d_total"]),
+                               float(m_shard["d_total"]),
+                               rtol=5e-2, atol=5e-3)
+    la = jax.tree_util.tree_leaves(s_single.g_params)
+    lb = jax.tree_util.tree_leaves(s_shard.g_params)
+    worst = max(float(np.abs(np.asarray(a) - np.asarray(b)).max())
+                for a, b in zip(la, lb))
+    # a few lr quanta (lr=1e-4): zero-gradient elements may flip sign
+    assert worst < 5e-4, f"g_params drifted by {worst}"
+
+
 def test_spatial_sharded_inference_matches_single_device():
     """Model-parallel (row-sharded) inference (SURVEY §2.4 ">640^2
     painter" door): the H axis of every NHWC tensor is split across the

@@ -55,6 +55,12 @@ def setup_comet(opts, resuming: bool):
 
 
 def main(argv):
+    # pod door: join the multi-host coordination service BEFORE anything
+    # queries jax.devices() (no-op single-host; parallel/distributed.py)
+    from climategan_tpu.parallel.distributed import maybe_init_distributed
+
+    maybe_init_distributed(verbose=1)
+
     from climategan_tpu.trainer import Trainer
     from climategan_tpu.utils.opts import (
         get_increased_path,
