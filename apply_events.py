@@ -50,6 +50,14 @@ def parse_args():
                    help="zip the output directory when done")
     p.add_argument("--upload", action="store_true",
                    help="upload outputs to comet.ml (requires comet creds)")
+    p.add_argument("--mesh", action="store_true",
+                   help="shard each batch across all visible devices "
+                        "(data-parallel serving on a multi-chip host; "
+                        "params replicated, XLA inserts the collectives)")
+    p.add_argument("--spatial", action="store_true",
+                   help="shard image ROWS across devices (model-parallel "
+                        "serving for huge images at small batch; XLA "
+                        "inserts the conv halo exchanges)")
     p.add_argument("--fuse", action="store_true",
                    help="bake spectral-norm sigmas into kernels and skip "
                         "power iterations (BN folding is automatic under "
@@ -229,6 +237,33 @@ def main():
                             out[event][j][..., ::-1],
                         )
 
+    # multi-chip serving (SERVING.md "Scale-out"): replicate params once
+    # per mesh size, shard each batch over devices — batch (--mesh) or
+    # image rows (--spatial); single-device runs skip all of this
+    _mesh_cache = {}
+
+    def to_devices(arr):
+        """arr: jnp NHWC batch -> (variables_for_call, sharded batch)."""
+        n_dev = len(jax.devices())
+        if not (args.mesh or args.spatial) or n_dev <= 1:
+            return variables, arr
+        from climategan_tpu.parallel.mesh import (
+            make_mesh, replicate, shard_batch, shard_spatial,
+        )
+
+        dim = 0 if args.mesh else 1  # batch vs rows
+        n = max(d for d in range(1, n_dev + 1) if arr.shape[dim] % d == 0)
+        if n not in _mesh_cache:
+            if n < n_dev:
+                print(f"WARNING: dim {dim} size {arr.shape[dim]} not "
+                      f"divisible by {n_dev} devices; using {n}",
+                      file=sys.stderr)
+            mesh = make_mesh(n)
+            _mesh_cache[n] = (mesh, replicate(mesh, variables))
+        mesh, v = _mesh_cache[n]
+        return v, (shard_batch(mesh, arr) if args.mesh
+                   else shard_spatial(mesh, arr))
+
     # JAX dispatch is asynchronous: batch i+1's device compute overlaps
     # batch i's host-side conversion + writes (disable with --no_overlap
     # for exact per-stage timings like the reference's serial harness)
@@ -244,7 +279,8 @@ def main():
                     [batch, np.repeat(batch[-1:], pad, axis=0)], axis=0
                 )
             with Timer(store=stores["all events"]):
-                out = infer(variables, jnp.asarray(batch), rng)
+                call_vars, dev_batch = to_devices(jnp.asarray(batch))
+                out = infer(call_vars, dev_batch, rng)
                 # keep only the written events; flatten on device NOW
                 # (async) — see flush() docstring
                 out = flatten_events(out)

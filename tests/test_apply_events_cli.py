@@ -72,3 +72,44 @@ def test_apply_events_cli_end_to_end(run_dir, tmp_path, monkeypatch):
     sample = cv2.imread(str(out_dir / pngs[0]))
     assert sample.shape == (128, 128, 3)
     assert sample.std() > 0  # not a constant image
+
+
+def test_apply_events_cli_mesh(run_dir, tmp_path, monkeypatch):
+    """--mesh: the same CLI serves data-parallel over the virtual mesh
+    (SERVING.md scale-out); outputs must match the single-device run to
+    1 uint8 LSB (the sharding layer cannot change the math)."""
+    import cv2
+
+    import apply_events
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device mesh")
+
+    in_dir = tmp_path / "imgs"
+    in_dir.mkdir()
+    rs = np.random.RandomState(1)
+    for i in range(2):
+        cv2.imwrite(str(in_dir / f"im_{i}.png"),
+                    rs.randint(0, 255, (128, 128, 3), np.uint8))
+
+    out_single = tmp_path / "outs_single"
+    monkeypatch.setattr(sys, "argv", [
+        "apply_events.py", "-i", str(in_dir), "-o", str(out_single),
+        "-r", str(run_dir), "-b", "2", "--keep_ratio_128",
+    ])
+    apply_events.main()
+
+    out_mesh = tmp_path / "outs_mesh"
+    monkeypatch.setattr(sys, "argv", [
+        "apply_events.py", "-i", str(in_dir), "-o", str(out_mesh),
+        "-r", str(run_dir), "-b", "2", "--keep_ratio_128", "--mesh",
+    ])
+    apply_events.main()
+
+    names = sorted(p.name for p in out_single.glob("*.png"))
+    assert names == sorted(p.name for p in out_mesh.glob("*.png"))
+    assert len(names) == 6
+    for n in names:
+        a = cv2.imread(str(out_single / n)).astype(np.int32)
+        b = cv2.imread(str(out_mesh / n)).astype(np.int32)
+        assert np.abs(a - b).max() <= 1, n
