@@ -128,6 +128,11 @@ def unflatten_events(out_dev: dict) -> dict:
 
 def main():
     args = parse_args()
+    # pod door: join the multi-host coordination service before any
+    # jax.devices() query (no-op single-host; parallel/distributed.py)
+    from climategan_tpu.parallel.distributed import maybe_init_distributed
+
+    maybe_init_distributed(verbose=1)
     stores = {
         k: [] for k in
         ("imports", "setup", "data pre-processing", "all events",
@@ -183,6 +188,13 @@ def main():
             variables = bake_spectral_norm(variables)
 
     paths = find_images(in_dir)
+    if jax.process_count() > 1:
+        # pod serving: each host takes its strided share of the image
+        # list and runs on its local devices (embarrassingly parallel —
+        # no cross-host collectives in the serving path)
+        paths = paths[jax.process_index()::jax.process_count()]
+        print(f"process {jax.process_index()}/{jax.process_count()}: "
+              f"serving {len(paths)} images", file=sys.stderr)
     if not paths:
         print(f"No images found in {in_dir}", file=sys.stderr)
         return 1
@@ -243,8 +255,13 @@ def main():
     _mesh_cache = {}
 
     def to_devices(arr):
-        """arr: jnp NHWC batch -> (variables_for_call, sharded batch)."""
-        n_dev = len(jax.devices())
+        """arr: jnp NHWC batch -> (variables_for_call, sharded batch).
+
+        On a pod each host serves an independent image share, so the
+        mesh spans only LOCAL devices (no cross-host collectives)."""
+        local = (jax.local_devices() if jax.process_count() > 1
+                 else jax.devices())
+        n_dev = len(local)
         if not (args.mesh or args.spatial) or n_dev <= 1:
             return variables, arr
         from climategan_tpu.parallel.mesh import (
@@ -258,7 +275,7 @@ def main():
                 print(f"WARNING: dim {dim} size {arr.shape[dim]} not "
                       f"divisible by {n_dev} devices; using {n}",
                       file=sys.stderr)
-            mesh = make_mesh(n)
+            mesh = make_mesh(n, devices=local)
             _mesh_cache[n] = (mesh, replicate(mesh, variables))
         mesh, v = _mesh_cache[n]
         return v, (shard_batch(mesh, arr) if args.mesh

@@ -70,6 +70,11 @@ def build_parser():
                          "(model-parallel inference for huge images at "
                          "small batch; XLA inserts the conv halo "
                          "exchanges)")
+    ap.add_argument("--hybrid", type=int, default=0, metavar="SP",
+                    help="2-D hybrid mesh: SP-way row sharding x "
+                         "(devices/SP)-way batch sharding (the layout "
+                         "for huge images at throughput batch sizes; "
+                         "see BENCH_NOTES hybrid section)")
     ap.add_argument("--config", type=int, default=0,
                     help="BASELINE.json config shortcut: 1=single-image "
                          "flood fp32, 2=smog only, 3=wildfire only, "
@@ -242,7 +247,28 @@ def run_bench(args):
         minval=-1.0, maxval=1.0,
     )
     n_chips = 1
-    if (args.mesh or args.spatial) and len(jax.devices()) > 1:
+    if args.hybrid and len(jax.devices()) > 1:
+        from climategan_tpu.parallel.mesh import (
+            make_mesh_2d, replicate, shard_hybrid,
+        )
+
+        n_dev_avail = len(jax.devices())
+        sp = args.hybrid
+        assert args.size % sp == 0, (
+            f"--hybrid {sp}: size {args.size} must divide by the row "
+            f"shard count")
+        dp = max(d for d in range(1, n_dev_avail // sp + 1)
+                 if args.batch % d == 0)
+        n_chips = dp * sp
+        if n_chips < n_dev_avail:
+            print(f"WARNING: hybrid dp{dp}xsp{sp} uses {n_chips} of "
+                  f"{n_dev_avail} devices", file=sys.stderr)
+        mesh = make_mesh_2d(dp, sp)
+        x = shard_hybrid(mesh, x)
+        variables = replicate(mesh, variables)
+        print(f"hybrid dp{dp}xsp{sp} sharding over {n_chips} devices",
+              file=sys.stderr)
+    elif (args.mesh or args.spatial) and len(jax.devices()) > 1:
         from climategan_tpu.parallel.mesh import (
             make_mesh, replicate, shard_batch, shard_spatial,
         )

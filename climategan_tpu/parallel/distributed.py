@@ -94,9 +94,12 @@ def make_global_array(x, sharding: NamedSharding):
 
     Single-process this is ``device_put`` (identical result and cost);
     on a pod each host passes only its own batch shard and JAX stitches
-    the global array across processes without any host-side gather.
+    the global array across processes without any host-side gather. A
+    fully-addressable (host-local) mesh on a pod — the independent
+    per-host serving pattern in apply_events --mesh — also goes through
+    plain device_put: there is no cross-process array to assemble.
     """
-    if jax.process_count() == 1:
+    if jax.process_count() == 1 or sharding.is_fully_addressable:
         return jax.device_put(x, sharding)
     import numpy as np
 

@@ -26,6 +26,10 @@ KEY_METRICS = ["f05", "error", "edge_coherence", "mnr"]
 
 
 def main():
+    # pod door (no-op single-host; parallel/distributed.py)
+    from climategan_tpu.parallel.distributed import maybe_init_distributed
+
+    maybe_init_distributed(verbose=1)
     ap = argparse.ArgumentParser()
     ap.add_argument("--images_dir", required=True)
     ap.add_argument("--labels_dir", required=True)
