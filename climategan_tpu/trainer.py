@@ -76,15 +76,35 @@ class Trainer:
         self.state = self.builder.init_state(rng, sample)
         self.state = self._maybe_pretrained_backbone(self.state)
 
-        # mesh size: largest device count that divides the per-step batch
+        # mesh: data axis sized to the largest device count dividing the
+        # per-step batch; tpu.spatial_shards > 1 additionally shards
+        # image rows on a second mesh axis (hybrid dp x sp — the layout
+        # for training at resolutions whose activations blow per-chip
+        # HBM under pure DP; equivalence pinned in
+        # tests/test_mesh_equivalence.py)
         n_dev = len(jax.devices())
         bs = int(self.opts.data.loaders.get("batch_size", 4))
+        sp = int(self.opts.get("tpu", {}).get("spatial_shards", 1) or 1)
+        if sp > 1 and n_dev % sp == 0:
+            n_data_avail = n_dev // sp
+        else:
+            if sp > 1:
+                self.logger.print(
+                    f"tpu.spatial_shards={sp} does not divide the "
+                    f"{n_dev}-device mesh; falling back to pure DP")
+            sp = 1
+            n_data_avail = n_dev
         n_mesh = 1
-        for n in range(min(n_dev, bs), 0, -1):
+        for n in range(min(n_data_avail, bs), 0, -1):
             if bs % n == 0:
                 n_mesh = n
                 break
-        self.mesh = make_mesh(n_mesh)
+        if sp > 1:
+            from climategan_tpu.parallel.mesh import make_mesh_2d
+
+            self.mesh = make_mesh_2d(n_mesh, sp)
+        else:
+            self.mesh = make_mesh(n_mesh)
         self.state = replicate(self.mesh, self.state)
         self._train_step = jax.jit(self.builder.train_step,
                                    donate_argnums=(0,))
@@ -268,7 +288,12 @@ class Trainer:
         n_steps = 0
         for tup in zip(*self._epoch_loaders().values()):
             batch = {item["domain"]: item["data"] for item in tup}
-            batch = shard_batch(self.mesh, batch)
+            if len(self.mesh.axis_names) == 2:
+                from climategan_tpu.parallel.mesh import shard_hybrid
+
+                batch = shard_hybrid(self.mesh, batch)
+            else:
+                batch = shard_batch(self.mesh, batch)
             self.state, metrics = self._train_step(
                 self.state, batch, g_scale, d_scale, p_scale
             )

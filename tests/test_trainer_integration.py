@@ -152,3 +152,26 @@ def test_partial_checkpoint_load(trainer_opts):
     enc_after = jax.tree_util.tree_leaves(new.g_params["encoder"])[0]
     np.testing.assert_array_equal(np.asarray(enc_before),
                                   np.asarray(enc_after))
+
+
+def test_trainer_hybrid_spatial_shards(trainer_opts):
+    """tpu.spatial_shards=2 trains on a hybrid dp x sp2 mesh through the
+    production Trainer path (SERVING.md scale-out; numerics pinned by
+    test_mesh_equivalence's hybrid test). One epoch must run with finite
+    losses on the 2-D mesh."""
+    import copy
+
+    from climategan_tpu.trainer import Trainer
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 virtual devices")
+
+    opts = copy.deepcopy(trainer_opts)
+    opts.tpu.spatial_shards = 2
+    opts.output_path = str(Path(str(trainer_opts.output_path)) / "hybrid")
+    trainer = Trainer(opts)
+    trainer.setup()
+    assert trainer.mesh.axis_names == ("data", "space")
+    assert trainer.mesh.devices.shape == (2, 2)  # batch 2 -> dp2 x sp2
+    trainer.run_epoch()
+    assert trainer.global_step == 2
