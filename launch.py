@@ -100,6 +100,11 @@ _SLURM_KEYS = (
     ("cpus", "--cpus-per-task"),
     ("gres", "--gres"),
     ("output", "--output"),
+    # pod training: ntasks/nodes > 1 launches one process per host and
+    # train.py auto-joins jax.distributed from the SLURM env
+    # (climategan_tpu/parallel/distributed.py)
+    ("nodes", "--nodes"),
+    ("ntasks", "--ntasks"),
 )
 
 
