@@ -18,7 +18,51 @@ import json
 import sys
 
 
-def summarize(trace_dir: str, top: int = 25):
+def _device_events(trace):
+    """Yield (dur_us, fusion_name, source_path) for device-track HLO ops.
+
+    Device tracks are identified by process_name metadata ("/device:...");
+    the source path comes from each op's source_info/tf_op arg, which XLA
+    populates with the jit(...)/Module.method/submodule/op trail."""
+    dev_pids = set()
+    for e in trace.get("traceEvents", []):
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            if "/device:" in (e.get("args") or {}).get("name", ""):
+                dev_pids.add(e["pid"])
+    for e in trace.get("traceEvents", []):
+        if e.get("ph") != "X" or "dur" not in e or e.get("pid") not in dev_pids:
+            continue
+        name = e.get("name", "?")
+        if name.startswith(("$", "np.", "jit_", "Pjit")):
+            continue  # envelope events on the device track
+        a = e.get("args") or {}
+        src = a.get("source_info") or a.get("tf_op") or ""
+        yield e["dur"], name, src
+
+
+# module-path substrings -> pipeline stage labels for the per-stage table
+_STAGES = (
+    ("OmniGenerator.encode", "masker/encoder"),
+    ("seg_decoder", "masker/seg_decoder"),
+    ("depth_decoder", "masker/depth_decoder"),
+    ("OmniGenerator.mask", "masker/mask_decoder"),
+    ("painter/", None),  # label = painter/<next path element>
+    ("paint", "painter/other"),
+    ("infer_masker", "masker/other"),
+)
+
+
+def _stage_of(src: str) -> str:
+    for needle, label in _STAGES:
+        if needle in src:
+            if label is not None:
+                return label
+            tail = src.split("painter/", 1)[1]
+            return "painter/" + (tail.split("/", 1)[0].rstrip(":") or "other")
+    return "events+misc" if src else "(no source)"
+
+
+def summarize(trace_dir: str, top: int = 25, iters: int = 1):
     paths = sorted(glob.glob(f"{trace_dir}/plugins/profile/*/*.trace.json.gz"))
     if not paths:
         print("no trace found", file=sys.stderr)
@@ -26,12 +70,18 @@ def summarize(trace_dir: str, top: int = 25):
     with gzip.open(paths[-1]) as f:
         trace = json.load(f)
     agg = collections.Counter()
-    for e in trace.get("traceEvents", []):
-        if e.get("ph") == "X" and "dur" in e:
-            name = e.get("name", "?")
-            if name.startswith(("$", "np.", "jit_", "Pjit")):
-                continue  # host-side / envelope events
-            agg[name] += e["dur"]
+    stages = collections.Counter()
+    total = 0.0
+    for dur, name, src in _device_events(trace):
+        agg[name] += dur
+        stages[_stage_of(src)] += dur
+        total += dur
+    if total:
+        print(f"\ndevice time by pipeline stage "
+              f"({total / 1e3 / iters:.1f} ms/iter total):")
+        for stage, dur in stages.most_common():
+            print(f"{dur / 1e3 / iters:10.2f} ms  {100 * dur / total:5.1f}%  "
+                  f"{stage}")
     print(f"\ntop {top} device ops by total time:")
     for name, dur in agg.most_common(top):
         print(f"{dur / 1e3:10.2f} ms  {name[:100]}")
@@ -104,7 +154,7 @@ def main():
                 state, m = step(state, batch, 1.0, 1.0, 1.0)
                 np.asarray(next(iter(m.values())))
         print(f"trace written to {args.out}")
-        summarize(args.out, args.top)
+        summarize(args.out, args.top, args.iters)
         return
     ignore = ("wildfire", "smog") if args.events == "flood" else ()
     G, infer = build_infer_fn(opts, dtype=jnp.bfloat16, ignore_event=ignore,
@@ -123,7 +173,7 @@ def main():
             out = infer(variables, x, rng)
             np.asarray(out["flood"][0, 0, 0])
     print(f"trace written to {args.out}")
-    summarize(args.out, args.top)
+    summarize(args.out, args.top, args.iters)
 
 
 if __name__ == "__main__":
