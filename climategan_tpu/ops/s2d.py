@@ -125,16 +125,80 @@ def conv_s2d(x_s2d: jax.Array, kernel: jax.Array, bias=None) -> jax.Array:
     return y
 
 
+def _pack_cost(taps: int, out_ch: int) -> int:
+    """MXU cost model for one packed-conv decomposition: taps x padded
+    output-lane tiles (input channels are the same across variants)."""
+    return taps * -(-out_ch // 128) * 128
+
+
+def _phase_outputs(x_full: jax.Array, k: jax.Array) -> list:
+    """The stride-2 packed conv, decomposed to skip structural zeros.
+
+    Returns the four phase outputs [p0, p1, p2, p3] (p = py*2 + px, each
+    (N, H/2, W/2, O)) of the full-res stride-1 3x3 conv — i.e. the
+    channel blocks of the s2d-packed result BEFORE concatenation (the
+    consumers slice/concat these; XLA fuses that into their epilogues).
+
+    Three exact decompositions, chosen by an MXU cost model
+    (taps x padded-lane tiles; measured on v5e the 4x4 single-kernel form
+    runs at ~hardware peak, so the ratio of counted work is the ratio of
+    time):
+      * 1 conv : 4x4 stride-2 kernel, 16 taps of which 9 are semantically
+        nonzero per phase (s2d_pack_kernel) — best when 4O fits one tile.
+      * 2 convs: one per px phase, 4x3 kernel (12 taps, 9 nonzero), both
+        py phases as output-channel blocks — best at small O (the lane
+        padding of narrower outputs dominates).
+      * 4 convs: one per (py, px) phase, the ORIGINAL 3x3 kernel with
+        asymmetric padding ((1-py, py), (1-px, px)) — zero structural
+        waste; best when O alone still fills an output tile.
+    Phase (py,px) output[i,j] = sum_{u,v} x[2i+py+u-1, 2j+px+v-1] K[u,v],
+    exactly full-res-conv pixel (2i+py, 2j+px).
+    """
+    assert k.shape[0] == 3 and k.shape[1] == 3, k.shape
+    o = k.shape[-1]
+    dn = ("NHWC", "HWIO", "NHWC")
+    dt = x_full.dtype
+    c1 = _pack_cost(16, 4 * o)
+    c2 = _pack_cost(2 * 12, 2 * o)
+    c4 = _pack_cost(4 * 9, o)
+    best = min(c1, c2, c4)
+    if best == c1:
+        y = jax.lax.conv_general_dilated(
+            x_full, s2d_pack_kernel(k).astype(dt), (2, 2), [(1, 1), (1, 1)],
+            dimension_numbers=dn, preferred_element_type=dt,
+        )
+        return [y[..., p * o:(p + 1) * o] for p in range(4)]
+    if best == c2:
+        # kernel (4,3,C,2O): rows 0..2 = phase py=0, rows 1..3 = py=1
+        kp = jnp.zeros((4, 3) + k.shape[2:3] + (2 * o,), k.dtype)
+        kp = kp.at[0:3, :, :, :o].set(k)
+        kp = kp.at[1:4, :, :, o:].set(k)
+        kp = kp.astype(dt)
+        by_px = [
+            jax.lax.conv_general_dilated(
+                x_full, kp, (2, 2), [(1, 1), (1 - px, px)],
+                dimension_numbers=dn, preferred_element_type=dt,
+            )
+            for px in (0, 1)
+        ]
+        return [by_px[0][..., :o], by_px[1][..., :o],
+                by_px[0][..., o:], by_px[1][..., o:]]
+    kd = k.astype(dt)
+    return [
+        jax.lax.conv_general_dilated(
+            x_full, kd, (2, 2), [(1 - py, py), (1 - px, px)],
+            dimension_numbers=dn, preferred_element_type=dt,
+        )
+        for py in (0, 1) for px in (0, 1)
+    ]
+
+
 def conv_pack_s2d(x_full: jax.Array, kernel: jax.Array,
                   bias=None) -> jax.Array:
     """Apply a stride-1 full-res 3x3 conv to a FULL-RES input, producing
-    the s2d-packed output directly (stride-2 4x4 packed kernel)."""
-    k4 = s2d_pack_kernel(kernel).astype(x_full.dtype)
-    y = jax.lax.conv_general_dilated(
-        x_full, k4, (2, 2), [(1, 1), (1, 1)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=x_full.dtype,
-    )
+    the s2d-packed output directly (phase-decomposed stride-2 convs —
+    see _phase_outputs)."""
+    y = jnp.concatenate(_phase_outputs(x_full, kernel), axis=-1)
     if bias is not None:
         y = y + jnp.tile(bias, 4).astype(y.dtype)
     return y
@@ -142,23 +206,19 @@ def conv_pack_s2d(x_full: jax.Array, kernel: jax.Array,
 
 def conv_pack_s2d_pair(x_full: jax.Array, kg: jax.Array, kb: jax.Array,
                        bg=None, bb=None):
-    """One stride-2 packed conv emitting BOTH SPADE maps with the output
-    lanes ordered [gamma_s2d (4O) | beta_s2d (4O)] — halves the conv count
-    of conv_pack_s2d at better output-lane fill (the two kernels share the
-    input), split by two contiguous lane slices."""
+    """Emit BOTH SPADE maps from one shared input via the phase-decomposed
+    packed conv (see _phase_outputs; the gamma/beta kernels are fused on
+    output channels so every phase conv serves both maps), returning
+    (gamma_s2d (4O), beta_s2d (4O))."""
     o = kg.shape[-1]
-    k4 = jnp.concatenate(
-        [s2d_pack_kernel(kg), s2d_pack_kernel(kb)], axis=-1
-    ).astype(x_full.dtype)
-    y = jax.lax.conv_general_dilated(
-        x_full, k4, (2, 2), [(1, 1), (1, 1)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=x_full.dtype,
-    )
+    k = jnp.concatenate([kg, kb], axis=-1)  # (kh, kw, C, 2O)
+    phases = _phase_outputs(x_full, k)      # each (N, h, w, 2O)
+    gamma = jnp.concatenate([p[..., :o] for p in phases], axis=-1)
+    beta = jnp.concatenate([p[..., o:] for p in phases], axis=-1)
     if bg is not None:
-        bias = jnp.concatenate([jnp.tile(bg, 4), jnp.tile(bb, 4)])
-        y = y + bias.astype(y.dtype)
-    return y[..., : 4 * o], y[..., 4 * o:]
+        gamma = gamma + jnp.tile(bg, 4).astype(gamma.dtype)
+        beta = beta + jnp.tile(bb, 4).astype(beta.dtype)
+    return gamma, beta
 
 
 def instance_norm_s2d(x_s2d: jax.Array, epsilon: float = 1e-5) -> jax.Array:
