@@ -125,6 +125,18 @@ def conv_s2d(x_s2d: jax.Array, kernel: jax.Array, bias=None) -> jax.Array:
     return y
 
 
+# Trace-time switch for the structural-zero phase decomposition below.
+# Default OFF: the end-to-end flood bench MEASURED the decomposition as a
+# 23% REGRESSION on v5e (49.5 vs 64.0 img/s/chip at b32 640^2, same-session A/B) despite
+# cutting analytic FLOPs 1684 -> 1444 GFLOP/image — the multi-conv
+# variants re-read the full-res input from HBM per phase conv, and
+# rebuilding gamma/beta from per-phase slices relayouts the output where
+# the single 4x4 kernel emits them as two contiguous lane slices that
+# XLA fuses straight into the SPADE epilogue. Counted-MXU-work cost
+# models miss both effects; see BENCH_NOTES "Round 4 (cont. 2)".
+PACK_DECOMP = False
+
+
 def _pack_cost(taps: int, out_ch: int) -> int:
     """MXU cost model for one packed-conv decomposition: taps x padded
     output-lane tiles (input channels are the same across variants)."""
@@ -133,6 +145,8 @@ def _pack_cost(taps: int, out_ch: int) -> int:
 
 def _phase_outputs(x_full: jax.Array, k: jax.Array) -> list:
     """The stride-2 packed conv, decomposed to skip structural zeros.
+    OPT-IN (PACK_DECOMP): measured slower end-to-end than the single
+    4x4 pack kernel on v5e — see the PACK_DECOMP note above.
 
     Returns the four phase outputs [p0, p1, p2, p3] (p = py*2 + px, each
     (N, H/2, W/2, O)) of the full-res stride-1 3x3 conv — i.e. the
@@ -140,9 +154,9 @@ def _phase_outputs(x_full: jax.Array, k: jax.Array) -> list:
     consumers slice/concat these; XLA fuses that into their epilogues).
 
     Three exact decompositions, chosen by an MXU cost model
-    (taps x padded-lane tiles; measured on v5e the 4x4 single-kernel form
-    runs at ~hardware peak, so the ratio of counted work is the ratio of
-    time):
+    (taps x padded-lane tiles — counted MXU work only; it ignores the
+    per-conv HBM re-read of x_full and the output relayout, which is
+    why the decomposition loses end-to-end):
       * 1 conv : 4x4 stride-2 kernel, 16 taps of which 9 are semantically
         nonzero per phase (s2d_pack_kernel) — best when 4O fits one tile.
       * 2 convs: one per px phase, 4x3 kernel (12 taps, 9 nonzero), both
@@ -196,9 +210,17 @@ def _phase_outputs(x_full: jax.Array, k: jax.Array) -> list:
 def conv_pack_s2d(x_full: jax.Array, kernel: jax.Array,
                   bias=None) -> jax.Array:
     """Apply a stride-1 full-res 3x3 conv to a FULL-RES input, producing
-    the s2d-packed output directly (phase-decomposed stride-2 convs —
-    see _phase_outputs)."""
-    y = jnp.concatenate(_phase_outputs(x_full, kernel), axis=-1)
+    the s2d-packed output directly (stride-2 4x4 packed kernel; the
+    phase-decomposed form behind PACK_DECOMP — measured slower)."""
+    if PACK_DECOMP:
+        y = jnp.concatenate(_phase_outputs(x_full, kernel), axis=-1)
+    else:
+        k4 = s2d_pack_kernel(kernel).astype(x_full.dtype)
+        y = jax.lax.conv_general_dilated(
+            x_full, k4, (2, 2), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=x_full.dtype,
+        )
     if bias is not None:
         y = y + jnp.tile(bias, 4).astype(y.dtype)
     return y
@@ -206,19 +228,34 @@ def conv_pack_s2d(x_full: jax.Array, kernel: jax.Array,
 
 def conv_pack_s2d_pair(x_full: jax.Array, kg: jax.Array, kb: jax.Array,
                        bg=None, bb=None):
-    """Emit BOTH SPADE maps from one shared input via the phase-decomposed
-    packed conv (see _phase_outputs; the gamma/beta kernels are fused on
-    output channels so every phase conv serves both maps), returning
-    (gamma_s2d (4O), beta_s2d (4O))."""
+    """One stride-2 packed conv emitting BOTH SPADE maps with the output
+    lanes ordered [gamma_s2d (4O) | beta_s2d (4O)] — the two kernels share
+    the input, and the maps come out as two contiguous lane slices XLA
+    fuses into the SPADE epilogue. (The phase-decomposed form behind
+    PACK_DECOMP rebuilds each map from four phase slices — measured
+    slower end-to-end; see the PACK_DECOMP note.)"""
     o = kg.shape[-1]
-    k = jnp.concatenate([kg, kb], axis=-1)  # (kh, kw, C, 2O)
-    phases = _phase_outputs(x_full, k)      # each (N, h, w, 2O)
-    gamma = jnp.concatenate([p[..., :o] for p in phases], axis=-1)
-    beta = jnp.concatenate([p[..., o:] for p in phases], axis=-1)
+    if PACK_DECOMP:
+        k = jnp.concatenate([kg, kb], axis=-1)  # (kh, kw, C, 2O)
+        phases = _phase_outputs(x_full, k)      # each (N, h, w, 2O)
+        gamma = jnp.concatenate([p[..., :o] for p in phases], axis=-1)
+        beta = jnp.concatenate([p[..., o:] for p in phases], axis=-1)
+        if bg is not None:
+            gamma = gamma + jnp.tile(bg, 4).astype(gamma.dtype)
+            beta = beta + jnp.tile(bb, 4).astype(beta.dtype)
+        return gamma, beta
+    k4 = jnp.concatenate(
+        [s2d_pack_kernel(kg), s2d_pack_kernel(kb)], axis=-1
+    ).astype(x_full.dtype)
+    y = jax.lax.conv_general_dilated(
+        x_full, k4, (2, 2), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=x_full.dtype,
+    )
     if bg is not None:
-        gamma = gamma + jnp.tile(bg, 4).astype(gamma.dtype)
-        beta = beta + jnp.tile(bb, 4).astype(beta.dtype)
-    return gamma, beta
+        bias = jnp.concatenate([jnp.tile(bg, 4), jnp.tile(bb, 4)])
+        y = y + bias.astype(y.dtype)
+    return y[..., : 4 * o], y[..., 4 * o:]
 
 
 def instance_norm_s2d(x_s2d: jax.Array, epsilon: float = 1e-5) -> jax.Array:

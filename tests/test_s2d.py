@@ -66,14 +66,19 @@ def test_conv_pack_s2d_exact():
 
 @pytest.mark.parametrize("o", [4, 40, 80, 160])
 def test_conv_pack_s2d_phase_regimes(o):
-    """The packed conv picks one of three exact decompositions by an MXU
-    cost model keyed on the output width (ops/s2d._phase_outputs): 4*O in
-    one lane tile -> single 4x4 kernel; small O -> two 4x3 phase-pair
-    convs; wide O -> four asymmetric-pad 3x3 convs. Sweep O across all
-    regime boundaries and check each against the plain conv, for both the
-    single and the gamma/beta pair form."""
+    """The OPT-IN phase decomposition (ops/s2d.PACK_DECOMP) picks one of
+    three exact forms by an MXU cost model keyed on the output width
+    (ops/s2d._phase_outputs): 4*O in one lane tile -> single 4x4 kernel;
+    small O -> two 4x3 phase-pair convs; wide O -> four asymmetric-pad
+    3x3 convs. Sweep O across all regime boundaries and check each
+    against the plain conv, for both the single and the gamma/beta pair
+    form. (Default path: single 4x4 kernel — measured faster end-to-end;
+    covered by test_conv_pack_s2d_exact and the parity suites.)"""
+    from climategan_tpu import ops
     from climategan_tpu.ops.s2d import conv_pack_s2d_pair
 
+    monkey = pytest.MonkeyPatch()
+    monkey.setattr(ops.s2d, "PACK_DECOMP", True)
     rng = np.random.RandomState(o)
     x = jnp.asarray(rng.randn(1, 8, 12, 5).astype(np.float32))
     k = jnp.asarray(rng.randn(3, 3, 5, o).astype(np.float32))
@@ -87,7 +92,10 @@ def test_conv_pack_s2d_phase_regimes(o):
     kb = jnp.asarray(rng.randn(3, 3, 5, o // 2).astype(np.float32))
     bg = jnp.asarray(rng.randn(o // 2).astype(np.float32))
     bb = jnp.asarray(rng.randn(o // 2).astype(np.float32))
-    gamma, beta = conv_pack_s2d_pair(x, kg, kb, bg, bb)
+    try:
+        gamma, beta = conv_pack_s2d_pair(x, kg, kb, bg, bb)
+    finally:
+        monkey.undo()
     np.testing.assert_allclose(
         np.asarray(gamma), np.asarray(space_to_depth(plain_conv(x, kg) + bg)),
         rtol=1e-5, atol=1e-5)
