@@ -128,7 +128,7 @@ def conv_s2d(x_s2d: jax.Array, kernel: jax.Array, bias=None) -> jax.Array:
 # Trace-time switch for the structural-zero phase decomposition below.
 # Default OFF: the end-to-end flood bench MEASURED the decomposition as a
 # 23% REGRESSION on v5e (49.5 vs 64.0 img/s/chip at b32 640^2, same-session A/B) despite
-# cutting analytic FLOPs 1684 -> 1444 GFLOP/image — the multi-conv
+# cutting analytic FLOPs 1653 -> 1444 GFLOP/image — the multi-conv
 # variants re-read the full-res input from HBM per phase conv, and
 # rebuilding gamma/beta from per-phase slices relayouts the output where
 # the single 4x4 kernel emits them as two contiguous lane slices that
@@ -234,6 +234,9 @@ def conv_pack_s2d_pair(x_full: jax.Array, kg: jax.Array, kb: jax.Array,
     fuses into the SPADE epilogue. (The phase-decomposed form behind
     PACK_DECOMP rebuilds each map from four phase slices — measured
     slower end-to-end; see the PACK_DECOMP note.)"""
+    assert (bg is None) == (bb is None), (
+        "conv_pack_s2d_pair: pass both biases or neither"
+    )
     o = kg.shape[-1]
     if PACK_DECOMP:
         k = jnp.concatenate([kg, kb], axis=-1)  # (kh, kw, C, 2O)

@@ -65,7 +65,7 @@ def test_conv_pack_s2d_exact():
 
 
 @pytest.mark.parametrize("o", [4, 40, 80, 160])
-def test_conv_pack_s2d_phase_regimes(o):
+def test_conv_pack_s2d_phase_regimes(o, monkeypatch):
     """The OPT-IN phase decomposition (ops/s2d.PACK_DECOMP) picks one of
     three exact forms by an MXU cost model keyed on the output width
     (ops/s2d._phase_outputs): 4*O in one lane tile -> single 4x4 kernel;
@@ -77,8 +77,7 @@ def test_conv_pack_s2d_phase_regimes(o):
     from climategan_tpu import ops
     from climategan_tpu.ops.s2d import conv_pack_s2d_pair
 
-    monkey = pytest.MonkeyPatch()
-    monkey.setattr(ops.s2d, "PACK_DECOMP", True)
+    monkeypatch.setattr(ops.s2d, "PACK_DECOMP", True)
     rng = np.random.RandomState(o)
     x = jnp.asarray(rng.randn(1, 8, 12, 5).astype(np.float32))
     k = jnp.asarray(rng.randn(3, 3, 5, o).astype(np.float32))
@@ -92,10 +91,7 @@ def test_conv_pack_s2d_phase_regimes(o):
     kb = jnp.asarray(rng.randn(3, 3, 5, o // 2).astype(np.float32))
     bg = jnp.asarray(rng.randn(o // 2).astype(np.float32))
     bb = jnp.asarray(rng.randn(o // 2).astype(np.float32))
-    try:
-        gamma, beta = conv_pack_s2d_pair(x, kg, kb, bg, bb)
-    finally:
-        monkey.undo()
+    gamma, beta = conv_pack_s2d_pair(x, kg, kb, bg, bb)
     np.testing.assert_allclose(
         np.asarray(gamma), np.asarray(space_to_depth(plain_conv(x, kg) + bg)),
         rtol=1e-5, atol=1e-5)
