@@ -10,6 +10,7 @@ Re-designs of the reference normalizations (climategan/norms.py):
 """
 from __future__ import annotations
 
+import os
 from typing import Callable, Tuple
 
 import jax
@@ -33,6 +34,18 @@ _PALLAS_SPADE = False
 # the border-strip ops trace at ~23 ms/iter but overlap other work,
 # while the pad copies serialize; fused wins end to end.
 FUSED_REFLECT = True
+
+# Trace-time switch: run plain 1x1 stride-1 unpadded convs as reshaped
+# matmuls. Default OFF: the isolated microbench wins 3.1x (XLA picks a
+# batch-in-sublanes conv emitter at the painter tail's shapes; the dot
+# form hits the MXU matmul emitter — 15.2 -> 4.9 ms for up_spade4's
+# conv_s with its stats epilogue), but the END-TO-END flood bench
+# MEASURED the rewrite as a 19% regression (52.4 vs 64.3 img/s/chip,
+# same-session A/B) — the reshape around the dot is a fusion barrier
+# that re-materializes full-res activations (+1.9 GB/image of HBM
+# traffic by XLA cost analysis). See BENCH_NOTES "Round 5".
+# CLIMATEGAN_DOT_1X1=1 opts in (same knob gates ops/s2d.DOT_1X1).
+DOT_1X1 = os.environ.get("CLIMATEGAN_DOT_1X1", "0") == "1"
 
 
 class pallas_spade:
@@ -340,17 +353,27 @@ class SNConv(nn.Module):
                 return _conv3x3_reflect(x, w.astype(x.dtype), bias)
             return _finish(_conv3x3_reflect(x, w.astype(x.dtype), None), bias)
 
-        y = jax.lax.conv_general_dilated(
-            x,
-            w.astype(x.dtype),
-            window_strides=self.strides,
-            padding=[(self.padding[0], self.padding[0]),
-                     (self.padding[1], self.padding[1])],
-            rhs_dilation=self.dilation,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=self.groups,
-            preferred_element_type=x.dtype,
-        )
+        if (DOT_1X1 and (kh, kw) == (1, 1) and self.strides == (1, 1)
+                and self.padding == (0, 0) and self.dilation == (1, 1)
+                and self.groups == 1):
+            # 1x1 stride-1 conv == matmul over flattened pixels (see the
+            # DOT_1X1 note above)
+            n, hh, ww, c = x.shape
+            y = jnp.dot(x.reshape(-1, c), w[0, 0].astype(x.dtype),
+                        preferred_element_type=x.dtype)
+            y = y.reshape(n, hh, ww, self.features)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x,
+                w.astype(x.dtype),
+                window_strides=self.strides,
+                padding=[(self.padding[0], self.padding[0]),
+                         (self.padding[1], self.padding[1])],
+                rhs_dilation=self.dilation,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=self.groups,
+                preferred_element_type=x.dtype,
+            )
         bias = (self.param("bias", nn.initializers.zeros, (self.features,))
                 if self.use_bias else None)
         return _finish(y, bias)

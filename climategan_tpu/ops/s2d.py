@@ -26,6 +26,8 @@ Phase convention: channel block p = py*2 + px holds pixel (2i+py, 2j+px).
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -110,16 +112,38 @@ def s2d_pack_kernel(kernel: jax.Array) -> jax.Array:
     return k4
 
 
+# Trace-time switch (opt-in knob, also honored by models.norms.DOT_1X1):
+# run 1x1 stride-1 convs as reshaped matmuls instead of lax.conv. Same
+# math; picks the MXU dot emitter over XLA's batch-in-sublanes conv
+# emitter — 3.1x faster in isolation, but a measured 19% END-TO-END
+# regression (52.4 vs 64.3 img/s/chip, same-session A/B: the reshape is
+# a fusion barrier that costs +1.9 GB/image of HBM traffic). Default
+# OFF; see the DOT_1X1 note in models/norms.py and BENCH_NOTES "Round 5".
+DOT_1X1 = os.environ.get("CLIMATEGAN_DOT_1X1", "0") == "1"
+
+
 def conv_s2d(x_s2d: jax.Array, kernel: jax.Array, bias=None) -> jax.Array:
     """Apply a stride-1 full-res conv (kernel in ORIGINAL (kh,kw,C,O) form)
     to an s2d input, returning the s2d output."""
     k2 = s2d_conv_kernel(kernel).astype(x_s2d.dtype)
-    pad = (k2.shape[0] // 2, k2.shape[1] // 2)
-    y = jax.lax.conv_general_dilated(
-        x_s2d, k2, (1, 1), [(pad[0], pad[0]), (pad[1], pad[1])],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=x_s2d.dtype,
-    )
+    if DOT_1X1 and k2.shape[:2] == (1, 1):
+        # 1x1 s2d conv == one matmul with the (4C, 4O) phase-block-diagonal
+        # kernel. XLA's conv path picks the EmitOutputBatchInSublanes
+        # emitter at the painter tail's shapes (batch 32, <=80 lanes) and
+        # runs ~3x slower than the MXU matmul form: measured 15.2 ms conv
+        # vs 4.9 ms dot for up_spade4's conv_s (1x1 160->80 at 320^2 b32,
+        # v5e, stats epilogue included in both).
+        n, h, w, c4 = x_s2d.shape
+        y = jnp.dot(x_s2d.reshape(-1, c4), k2[0, 0],
+                    preferred_element_type=x_s2d.dtype)
+        y = y.reshape(n, h, w, k2.shape[-1])
+    else:
+        pad = (k2.shape[0] // 2, k2.shape[1] // 2)
+        y = jax.lax.conv_general_dilated(
+            x_s2d, k2, (1, 1), [(pad[0], pad[0]), (pad[1], pad[1])],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=x_s2d.dtype,
+        )
     if bias is not None:
         y = y + jnp.tile(bias, 4).astype(y.dtype)
     return y

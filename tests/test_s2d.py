@@ -165,3 +165,35 @@ def test_conv3x3_reflect_border_fix_exact():
     got = _conv3x3_reflect(x, w, b)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_dot_1x1_opt_in_exact(monkeypatch):
+    """The opt-in CLIMATEGAN_DOT_1X1 rewrite (1x1 stride-1 convs as
+    reshaped matmuls — measured faster in isolation but an end-to-end
+    regression, see BENCH_NOTES "Round 5") is exact in both places it
+    gates: ops/s2d.conv_s2d and models/norms.SNConv."""
+    from climategan_tpu import ops
+    from climategan_tpu.models import norms
+    from climategan_tpu.models.norms import SNConv
+
+    rng = np.random.RandomState(7)
+
+    # conv_s2d with a 1x1 kernel: dot form vs default conv form.
+    x = jnp.asarray(rng.randn(2, 6, 8, 6).astype(np.float32))
+    k = jnp.asarray(rng.randn(1, 1, 6, 5).astype(np.float32))
+    b = jnp.asarray(rng.randn(5).astype(np.float32))
+    want = conv_s2d(space_to_depth(x), k, b)
+    monkeypatch.setattr(ops.s2d, "DOT_1X1", True)
+    got = conv_s2d(space_to_depth(x), k, b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+    # SNConv 1x1 stride-1 unpadded: dot form vs default conv form.
+    mod = SNConv(features=5, kernel_size=(1, 1))
+    xs = jnp.asarray(rng.randn(2, 6, 8, 6).astype(np.float32))
+    variables = mod.init(jax.random.PRNGKey(0), xs)
+    want = mod.apply(variables, xs)
+    monkeypatch.setattr(norms, "DOT_1X1", True)
+    got = mod.apply(variables, xs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
