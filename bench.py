@@ -92,8 +92,12 @@ def build_parser():
                          "process (tests, pre-probed environments)")
     ap.add_argument("--probe_timeout", type=int, default=120,
                     help="seconds per backend probe attempt")
-    ap.add_argument("--probe_retries", type=int, default=3,
-                    help="probe attempts before declaring the backend down")
+    ap.add_argument("--probe_retries", type=int, default=5,
+                    help="probe attempts before declaring the backend down "
+                         "(backoff 20/40/80/160s between attempts: the "
+                         "backend's observed init flakes recover within "
+                         "minutes — round 5 watched one outlast a 140s "
+                         "window and clear by 6 min)")
     ap.add_argument("--bench_timeout", type=int, default=3300,
                     help="wall-clock bound on the benchmark child (s); the "
                          "640^2 fused-graph TPU compile alone is ~25 min "
