@@ -34,6 +34,11 @@ def main():
     ap.add_argument("--remat", action="store_true",
                     help="rematerialize forward activations (fits larger "
                          "batches in HBM)")
+    ap.add_argument("--policy", default="",
+                    help="tpu.remat_policy: '' (full remat), 'dots' (save "
+                         "every conv/matmul output), 'small_convs[:AREA]' "
+                         "(save conv outputs with input spatial area <= "
+                         "AREA px, default 160*160)")
     ap.add_argument("--mesh", action="store_true",
                     help="data-parallel training over all visible devices "
                          "(per-domain batch sharded; params replicated; "
@@ -48,6 +53,8 @@ def main():
         opts.tpu.remat = True
     if args.remat_d:
         opts.tpu.remat_d = True
+    if args.policy:
+        opts.tpu.remat_policy = args.policy
     builder = StepBuilder(opts, vgg_variables=None)
     rng = jax.random.PRNGKey(0)
     n, size, feat = args.batch, args.size, args.feat

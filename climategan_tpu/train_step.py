@@ -224,6 +224,48 @@ def _state_of(variables):
     return {k: v for k, v in variables.items() if k != "params"}
 
 
+def make_remat_policy(spec):
+    """Build a jax.checkpoint policy from an opts string.
+
+    ``""``/``"full"`` -> None (plain remat: save nothing, recompute the
+    whole forward in the backward — maximum HBM savings).
+    ``"dots"`` -> ``jax.checkpoint_policies.dots_saveable`` (save every
+    conv/matmul output; cheapest recompute, highest residency).
+    ``"small_convs[:AREA]"`` -> save conv/matmul outputs whose *input*
+    spatial area is <= AREA pixels (default 160*160): the os8 masker
+    trunk's activations are saved (its convs dominate recompute FLOPs
+    but are small), while the painter's full-res 320^2/640^2 tensors —
+    the HBM hogs that forced remat on in the first place — are still
+    rematerialized.
+    """
+    if not spec or spec == "full":
+        return None
+    import jax
+
+    if spec == "dots":
+        return jax.checkpoint_policies.dots_saveable
+    if spec.startswith("small_convs"):
+        area = int(spec.split(":", 1)[1]) if ":" in spec else 160 * 160
+
+        def policy(prim, *avals, **params):
+            if prim.name == "dot_general":
+                return True
+            if prim.name == "conv_general_dilated" and avals:
+                dn = params.get("dimension_numbers")
+                shape = avals[0].shape
+                if dn is None or not shape:
+                    return False
+                spatial = 1
+                for d in dn.lhs_spec[2:]:
+                    spatial *= shape[d]
+                return spatial <= area
+
+            return False
+
+        return policy
+    raise ValueError(f"unknown tpu.remat_policy: {spec!r}")
+
+
 class StepBuilder:
     """Builds jittable G/D update functions for given (G, D, config)."""
 
@@ -235,6 +277,11 @@ class StepBuilder:
         # pass (jax.checkpoint) — trades FLOPs for HBM, enabling 640^2
         # training batches on a 16GB chip
         self.remat = bool(opts.get("tpu", {}).get("remat", False))
+        # selective remat: which activations the checkpoint may keep
+        # (see make_remat_policy; A/B'd on v5e in BENCH_NOTES round 5)
+        self.remat_policy = make_remat_policy(
+            opts.get("tpu", {}).get("remat_policy", "") or ""
+        )
         # rematerializing the D step trades ~12% step time for the HBM to
         # fit one more sample per domain at 640^2 (measured: b3 fits but
         # 7.6 img/s vs 8.5 at b2) — separate knob, off by default
@@ -795,7 +842,9 @@ class StepBuilder:
                     )
 
                 if self.remat:
-                    masker_domain = jax.checkpoint(masker_domain)
+                    masker_domain = jax.checkpoint(
+                        masker_domain, policy=self.remat_policy
+                    )
                 dl, dm, gs, ds = masker_domain(
                     g_params, batch[domain], cur_gstate, cur_dstate
                 )
@@ -815,7 +864,9 @@ class StepBuilder:
                     )
 
                 if self.remat:
-                    painter_fn = jax.checkpoint(painter_fn)
+                    painter_fn = jax.checkpoint(
+                        painter_fn, policy=self.remat_policy
+                    )
                 pl, pm, gs, ds = painter_fn(
                     g_params, batch["rf"], cur_gstate, cur_dstate
                 )
@@ -915,9 +966,12 @@ class StepBuilder:
             )
 
         if self.remat_d:
-            painter_d_losses = jax.checkpoint(painter_d_losses)
+            painter_d_losses = jax.checkpoint(
+                painter_d_losses, policy=self.remat_policy
+            )
             masker_d_losses = jax.checkpoint(
-                masker_d_losses, static_argnums=(4,)
+                masker_d_losses, static_argnums=(4,),
+                policy=self.remat_policy,
             )
 
         def loss_fn(d_params, batch):
